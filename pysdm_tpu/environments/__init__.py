@@ -1,0 +1,2 @@
+"""environments (parity: reference PySDM/environments/)"""
+from .box import Box

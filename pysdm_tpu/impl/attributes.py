@@ -1,0 +1,105 @@
+"""Derived-attribute computation.
+
+Replaces the reference's timestamped attribute dependency graph
+(reference ``PySDM/attributes/impl/derived_attribute.py``): under jit there is
+no caching to manage — derived attributes are pure functions of the state and
+XLA common-subexpression-eliminates repeated evaluation. The registry maps the
+reference's attribute names (``PySDM/attributes/``, ~45 classes) to derivation
+functions.
+"""
+
+import jax.numpy as jnp
+
+# attribute names stored as extensive rows (conserved sums under coalescence)
+EXTENSIVE_NAMES = (
+    "signed water mass",
+    "water mass",  # alias: stored signed
+    "dry volume",
+    "dry volume organic",
+    "kappa times dry volume",
+    "heat",
+    "moles_1H",
+    "moles_2H",
+    "moles_3H",
+    "moles_16O",
+    "moles_17O",
+    "moles_18O",
+    "relative fall momentum",
+    # aqueous chemistry mole amounts
+    "moles_N_mIII",
+    "moles_N_V",
+    "moles_S_IV",
+    "moles_S_VI",
+    "moles_C_IV",
+    "moles_O3",
+    "moles_H2O2",
+)
+
+MAXIMUM_NAMES = ("freezing temperature",)
+
+
+def canonical_ext_name(name):
+    return "signed water mass" if name == "water mass" else name
+
+
+class AttributeResolver:
+    """computes any requested attribute from a ParticleState + Formulae"""
+
+    def __init__(self, formulae):
+        self.formulae = formulae
+
+    def get(self, state, name):
+        f = self.formulae
+        if name in ("multiplicity", "n"):
+            return state.multiplicity
+        if name == "cell id":
+            return state.cell_id
+        if name == "cell origin":
+            return state.cell_origin
+        if name == "position in cell":
+            return state.position_in_cell
+        if name == "signed water mass":
+            return state.ext("signed water mass")
+        if name == "water mass":
+            return jnp.abs(state.ext("signed water mass"))
+        if state.has_ext(name):
+            return state.ext(name)
+        if name in state.max_names:
+            return state.max_attr(name)
+        if name == "volume":
+            return f.particle_shape_and_density.mass_to_volume(
+                state.ext("signed water mass")
+            )
+        if name == "radius":
+            return f.trivia.radius(self.get(state, "volume"))
+        if name == "sqrt radius":
+            return jnp.sqrt(self.get(state, "radius"))
+        if name == "area":
+            return f.trivia.area(self.get(state, "radius"))
+        if name == "dry radius":
+            return f.trivia.radius(state.ext("dry volume"))
+        if name == "kappa":
+            return state.ext("kappa times dry volume") / state.ext("dry volume")
+        if name == "temperature":
+            return state.ext("heat") / self.get(state, "water mass")  # heat = c_p m T
+        if name in ("terminal velocity", "relative fall velocity"):
+            # relative fall velocity equals terminal velocity unless the
+            # RelaxedVelocity dynamic maintains a momentum attribute
+            if state.has_ext("relative fall momentum"):
+                return state.ext("relative fall momentum") / self.get(
+                    state, "water mass"
+                )
+            return self.terminal_velocity(state)
+        raise KeyError(f"unknown attribute: {name}")
+
+    def terminal_velocity(self, state):
+        radius = self.get(state, "radius")
+        f = self.formulae
+        variant = f.terminal_velocity.variant
+        if variant == "GunnKinzer1949":
+            from ..dynamics.terminal_velocity import gunn_kinzer_v_term
+
+            return gunn_kinzer_v_term(f.constants, radius)
+        if hasattr(f.terminal_velocity, "v_term"):
+            return f.terminal_velocity.v_term(radius)
+        raise NotImplementedError(f"terminal velocity variant {variant}")

@@ -1,0 +1,2 @@
+"""ready-made simulation configurations (the reference's examples layer):
+box coalescence, adiabatic parcel, 1D column, 2D kinematic warm rain"""

@@ -1,0 +1,151 @@
+"""Particulator: simulation driver and mediator
+(API parity: reference ``PySDM/particulator.py``).
+
+TPU-first design: the per-step work of all registered dynamics is composed
+into a single pure function over the simulation-state pytree and compiled once
+with ``jax.jit``; ``run(steps)`` replays it. Products and attribute accessors
+pull device data on demand (the only host<->device transfers).
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .impl.attributes import AttributeResolver
+from .ops import moments as moments_ops
+
+
+class _AttributeView:
+    """dict-like read access to (possibly derived) attributes as numpy arrays"""
+
+    def __init__(self, particulator):
+        self._p = particulator
+
+    def __getitem__(self, name):
+        return np.asarray(self._p.get_attribute(name))
+
+
+class Particulator:
+    def __init__(self, n_sd, backend):
+        self.n_sd = n_sd
+        self.backend = backend
+        self.formulae = backend.formulae
+        self.dtype = backend.dtype
+        self.mult_dtype = backend.mult_dtype
+        self.environment = None
+        self.mesh = None
+        self.dt = None
+        self.dynamics = {}
+        self.products = {}
+        self.observers = []
+        self.n_steps = 0
+        self.sim_state = None  # {'particles', 'env', 'counters', 'key'}
+        self._step_fn = None
+        self._resolver = AttributeResolver(self.formulae)
+        self.attributes = _AttributeView(self)
+        self.timers = {}
+
+    # -- stepping -------------------------------------------------------
+    def run(self, steps):
+        for _ in range(steps):
+            t0 = time.perf_counter()
+            self.sim_state = self._step_fn(self.sim_state)
+            self.n_steps += 1
+            for observer in self.observers:
+                observer.notify()
+            self.timers["total"] = self.timers.get("total", 0.0) + (
+                time.perf_counter() - t0
+            )
+
+    def block_until_ready(self):
+        jax.block_until_ready(self.sim_state)
+
+    # -- state access ---------------------------------------------------
+    @property
+    def particles(self):
+        return self.sim_state["particles"]
+
+    def get_attribute(self, name):
+        return self._resolver.get(self.sim_state["particles"], name)
+
+    def get_counter(self, name):
+        return np.asarray(self.sim_state["counters"][name])
+
+    def reset_counter(self, name):
+        c = self.sim_state["counters"][name]
+        self.sim_state["counters"][name] = jnp.zeros_like(c)
+
+    def get_env(self, key):
+        if key in self.sim_state["env"]:
+            return np.asarray(self.sim_state["env"][key])
+        return np.asarray(self.environment[key])
+
+    # -- reductions for products ----------------------------------------
+    def moments(
+        self,
+        *,
+        attr_name,
+        ranks,
+        filter_attr="volume",
+        filter_range=(-np.inf, np.inf),
+        weighting_attribute=None,
+        weighting_rank=0,
+        skip_division_by_m0=False,
+    ):
+        particles = self.sim_state["particles"]
+        attr = self._resolver.get(particles, attr_name)
+        filt = self._resolver.get(particles, filter_attr)
+        weight = (
+            self._resolver.get(particles, weighting_attribute)
+            if weighting_attribute
+            else None
+        )
+        m0, mk = moments_ops.moments(
+            multiplicity=particles.multiplicity,
+            attr_data=attr,
+            cell_id=particles.cell_id,
+            ranks=tuple(ranks),
+            filter_attr_data=filt,
+            min_x=filter_range[0],
+            max_x=filter_range[1],
+            n_cell=self.mesh.n_cell,
+            weighting_attribute=weight,
+            weighting_rank=weighting_rank,
+            skip_division_by_m0=skip_division_by_m0,
+        )
+        return np.asarray(m0), np.asarray(mk)
+
+    def spectrum_moments(
+        self,
+        *,
+        attr_name,
+        rank,
+        attr_bins,
+        filter_attr=None,
+        weighting_attribute=None,
+        weighting_rank=0,
+    ):
+        particles = self.sim_state["particles"]
+        attr = self._resolver.get(particles, attr_name)
+        x_attr = (
+            self._resolver.get(particles, filter_attr) if filter_attr else attr
+        )
+        weight = (
+            self._resolver.get(particles, weighting_attribute)
+            if weighting_attribute
+            else None
+        )
+        m0, mk = moments_ops.spectrum_moments(
+            multiplicity=particles.multiplicity,
+            attr_data=attr,
+            x_attr=x_attr,
+            cell_id=particles.cell_id,
+            x_bins=jnp.asarray(attr_bins, dtype=self.dtype),
+            rank=rank,
+            n_cell=self.mesh.n_cell,
+            weighting_attribute=weight,
+            weighting_rank=weighting_rank,
+        )
+        return np.asarray(m0), np.asarray(mk)

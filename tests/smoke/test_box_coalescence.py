@@ -1,0 +1,130 @@
+"""Smoke tests: 0D box SDM coalescence vs the Golovin analytic solution
+(model: reference ``tests/smoke_tests/box/shima_et_al_2009/test_convergence.py``
+and ``test_lwc_constant.py``; setup from
+``examples/PySDM_examples/Shima_et_al_2009/settings.py``)."""
+
+import numpy as np
+import pytest
+from scipy import special
+
+from pysdm_tpu import Builder, Formulae
+from pysdm_tpu.backends import CPU
+from pysdm_tpu.dynamics import Coalescence
+from pysdm_tpu.dynamics.collisions.collision_kernels import Golovin
+from pysdm_tpu.environments import Box
+from pysdm_tpu.initialisation.sampling.spectral_sampling import ConstantMultiplicity
+from pysdm_tpu.initialisation.spectra import Exponential
+from pysdm_tpu.physics import si
+from pysdm_tpu.products import ParticleVolumeVersusRadiusLogarithmSpectrum
+
+
+def golovin_analytic_dvdlnr(radius, t, b, x_0, n_part, rho):
+    """Golovin 1963 analytic mass-density solution for an exponential initial
+    spectrum, as dm/dlnr (same closed form the reference plots against)"""
+    x = 4 / 3 * np.pi * radius**3
+    tau = 1 - np.exp(-n_part * b * x_0 * t)
+    sqrt_tau = np.sqrt(tau)
+    phi = (
+        (1 - tau)
+        / (x * sqrt_tau)
+        * special.ive(1, 2 * x / x_0 * sqrt_tau)
+        * np.exp(-(1 + tau - 2 * sqrt_tau) * x / x_0)
+    )
+    # phi -> exp(-x/x_0)/x_0 as t -> 0, so dN/dx (per air volume) = n_part * phi
+    # and dm/dlnr = 3 x^2 rho dN/dx
+    return n_part * phi * 3 * x**2 * rho
+
+
+def run_box(n_sd, dt, t_max, adaptive, radius_bins_edges, seed=44):
+    formulae = Formulae(seed=seed)
+    env = Box(dv=1e6 * si.m**3, dt=dt)
+    builder = Builder(n_sd=n_sd, backend=CPU(formulae), environment=env)
+    n_part = 2**23  # 1/m3
+    x_0 = float(formulae.trivia.volume(radius=30.531 * si.um))
+    spectrum = Exponential(norm_factor=n_part * 1e6, scale=x_0)
+    builder.add_dynamic(
+        Coalescence(collision_kernel=Golovin(b=1.5e3), adaptive=adaptive)
+    )
+    attributes = {}
+    sampling = ConstantMultiplicity(spectrum)
+    attributes["volume"], attributes["multiplicity"] = sampling.sample(n_sd)
+    products = (
+        ParticleVolumeVersusRadiusLogarithmSpectrum(
+            radius_bins_edges, name="dv/dlnr"
+        ),
+    )
+    particulator = builder.build(attributes, products)
+    particulator.run(int(t_max / dt))
+    return particulator, x_0, n_part
+
+
+RADIUS_BINS = np.logspace(np.log10(10 * si.um), np.log10(5e3 * si.um), num=64)
+
+
+class TestGolovinConvergence:
+    @staticmethod
+    def test_convergence_with_sd_count():
+        """error vs analytic solution decreases monotonically with n_sd
+        (reference ``test_convergence.py:24-80``, reduced sizes for CI speed)"""
+        errors = {}
+        t_max = 1800.0
+        for ln2_nsd in (10, 12, 14):
+            particulator, x_0, n_part = run_box(
+                2**ln2_nsd, dt=1.0, t_max=t_max, adaptive=False,
+                radius_bins_edges=RADIUS_BINS,
+            )
+            measured = particulator.products["dv/dlnr"].get()[0] * 1000.0
+            r_mid = np.sqrt(RADIUS_BINS[:-1] * RADIUS_BINS[1:])
+            analytic = golovin_analytic_dvdlnr(
+                r_mid, t_max, b=1.5e3, x_0=x_0, n_part=n_part, rho=1000.0
+            )
+            scale = max(analytic.max(), 1e-300)
+            errors[ln2_nsd] = float(
+                np.sqrt(np.mean(((measured - analytic) / scale) ** 2))
+            )
+        keys = sorted(errors)
+        assert errors[keys[0]] > errors[keys[1]] > errors[keys[2]]
+        assert errors[keys[2]] < 0.1
+
+    @staticmethod
+    @pytest.mark.parametrize("adaptive", (False, True))
+    def test_lwc_constant(adaptive):
+        """liquid water content is exactly conserved under coalescence
+        (reference ``test_lwc_constant.py``)"""
+        particulator, *_ = run_box(
+            2**11, dt=10.0, t_max=300.0, adaptive=adaptive,
+            radius_bins_edges=RADIUS_BINS,
+        )
+        mult = particulator.attributes["multiplicity"]
+        mass = particulator.attributes["water mass"]
+        lwc1 = float((mult * mass).sum())
+        p2, *_ = run_box(
+            2**11, dt=10.0, t_max=0.0, adaptive=adaptive,
+            radius_bins_edges=RADIUS_BINS,
+        )
+        lwc0 = float(
+            (p2.attributes["multiplicity"] * p2.attributes["water mass"]).sum()
+        )
+        np.testing.assert_allclose(lwc1, lwc0, rtol=1e-10)
+
+    @staticmethod
+    def test_adaptive_beats_nonadaptive_at_large_dt():
+        """with dt = 50 s the non-adaptive run must be worse than adaptive
+        (reference xfails non-adaptive at dt=50-100 s)"""
+        t_max = 1800.0
+        errs = {}
+        for adaptive in (False, True):
+            particulator, x_0, n_part = run_box(
+                2**12, dt=50.0, t_max=t_max, adaptive=adaptive,
+                radius_bins_edges=RADIUS_BINS,
+            )
+            measured = particulator.products["dv/dlnr"].get()[0] * 1000.0
+            r_mid = np.sqrt(RADIUS_BINS[:-1] * RADIUS_BINS[1:])
+            analytic = golovin_analytic_dvdlnr(
+                r_mid, t_max, b=1.5e3, x_0=x_0, n_part=n_part, rho=1000.0
+            )
+            scale = max(analytic.max(), 1e-300)
+            errs[adaptive] = float(
+                np.sqrt(np.mean(((measured - analytic) / scale) ** 2))
+            )
+        assert errs[True] < errs[False]
