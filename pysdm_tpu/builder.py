@@ -41,8 +41,9 @@ class Builder:
         self.request_attribute(name)
         return name
 
-    def add_counter(self, name, n_cell, dtype):
-        self._counters[name] = jnp.zeros((n_cell,), dtype=dtype)
+    def add_counter(self, name, n_cell, dtype, fill=0):
+        dtype = dtype or self.particulator.dtype
+        self._counters[name] = jnp.full((n_cell,), fill, dtype=dtype)
 
     def build(self, attributes: dict, products=()):
         particulator = self.particulator
@@ -120,6 +121,10 @@ class Builder:
             for dynamic in particulator.dynamics.values()
             if hasattr(dynamic, "make_step")
         ]
+        # environment predicted->current commit runs last (the reference's
+        # swap-on-notify observer ordering, particulator.py:58-61)
+        if hasattr(self.environment, "make_commit_step"):
+            step_fns.append(self.environment.make_commit_step(particulator))
 
         def full_step(sim):
             for fn in step_fns:
@@ -127,6 +132,11 @@ class Builder:
             return sim
 
         particulator._step_fn = jax.jit(full_step)
+
+        def multi_step(sim, n):
+            return jax.lax.fori_loop(0, n, lambda _, s: full_step(s), sim)
+
+        particulator._multi_step_fn = jax.jit(multi_step)
 
         for product in products:
             product.register(self)

@@ -1,2 +1,4 @@
 """dynamics (process operators); parity: reference PySDM/dynamics/"""
 from .collisions.collision import Collision, Coalescence, Breakup
+from .ambient_thermodynamics import AmbientThermodynamics
+from .condensation import Condensation

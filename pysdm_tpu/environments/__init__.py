@@ -1,2 +1,3 @@
 """environments (parity: reference PySDM/environments/)"""
 from .box import Box
+from .parcel import Parcel

@@ -82,6 +82,18 @@ class AttributeResolver:
             return state.ext("kappa times dry volume") / state.ext("dry volume")
         if name == "temperature":
             return state.ext("heat") / self.get(state, "water mass")  # heat = c_p m T
+        if name == "dry volume organic fraction":
+            if state.has_ext("dry volume organic"):
+                return state.ext("dry volume organic") / state.ext("dry volume")
+            return jnp.zeros_like(state.ext("signed water mass"))
+        if name == "Reynolds number":
+            # full Re (terminal velocity x air density/viscosity) matters only
+            # with non-Neglect ventilation; zeros otherwise (vent coeff -> 1)
+            return jnp.zeros_like(state.ext("signed water mass"))
+        if name == "critical volume":
+            # needs cell temperature — resolved via env-aware resolvers in
+            # products; for a 0D parcel the T gather is done by the caller
+            raise KeyError("critical volume requires env coupling; use products")
         if name in ("terminal velocity", "relative fall velocity"):
             # relative fall velocity equals terminal velocity unless the
             # RelaxedVelocity dynamic maintains a momentum attribute

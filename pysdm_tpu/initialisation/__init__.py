@@ -1,3 +1,5 @@
-"""initialisation: spectra, sampling, multiplicity discretisation"""
+"""initialisation: spectra, sampling, multiplicity discretisation,
+wet-radius equilibration"""
 from . import spectra
 from .discretise_multiplicities import discretise_multiplicities
+from .equilibrate_wet_radii import equilibrate_wet_radii

@@ -1,0 +1,382 @@
+"""Vectorized implicit-in-particle-size condensation solver.
+
+Semantics parity with the reference CPU solver
+(``PySDM/backends/impl_numba/methods/condensation_methods.py``): trapezoidal
+per-cell coupling of (thd, qv, rhod) with per-droplet implicit mass solves
+(``step_impl`` 256-356, ``calculate_ml_new`` 408-572) and Richardson-style
+per-cell substep adaptation (``adapt_substeps`` 178-228).
+
+TPU-first re-design (SURVEY.md §7 delta #5):
+- the per-droplet root find is a *bracketed bisection over the whole particle
+  axis at once* (the reference GPU backend's choice, ``bisection.py``, rather
+  than the CPU's branchy TOMS748) with a masked early-exit while_loop;
+- per-cell reductions (liquid mass ml) are deterministic ``segment_sum``s
+  instead of serial loops / atomics;
+- cells with different substep counts advance in lockstep under one masked
+  ``while_loop`` — spent cells are frozen, shapes stay static.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def make_condensation_solver(
+    formulae,
+    *,
+    n_cell,
+    dt,
+    rtol_x=1e-6,
+    rtol_thd=1e-6,
+    dt_range=(1e-4, 1.0),
+    adaptive=True,
+    fuse=32,
+    multiplier=2,
+    RH_rtol=1e-7,
+    max_iters=16,
+    bisect_iters=64,
+):
+    """build the jit-traceable condensation step closed over formulae/config"""
+    f = formulae
+    const = f.constants
+    if dt_range[1] > dt:
+        dt_range = (dt_range[0], dt)
+    n_substeps_max = int(dt // dt_range[0])
+    n_substeps_min = max(1, int(-(-dt // dt_range[1])))  # ceil
+
+    x_max = f.diffusion_coordinate.x_max()
+
+    def minfun(x_new, x_old, dt_sub, kappa, f_org, rd3, T, RH, Fk, Fd):
+        mass_new = f.diffusion_coordinate.mass(x_new)
+        volume_new = f.particle_shape_and_density.mass_to_volume(mass_new)
+        r_new = f.trivia.radius(volume_new)
+        sgm = f.surface_tension.sigma(T, volume_new, const.PI_4_3 * rd3, f_org)
+        RH_eq = f.hygroscopicity.RH_eq(r_new, T, kappa, rd3, sgm)
+        r_dr_dt = f.drop_growth.r_dr_dt(RH_eq=RH_eq, RH=RH, Fk=Fk, Fd=Fd)
+        dm_dt = f.particle_shape_and_density.dm_dt(r=r_new, r_dr_dt=r_dr_dt)
+        res = x_old - x_new + dt_sub * f.diffusion_coordinate.dx_dt(mass_new, dm_dt)
+        return jnp.where(x_new > x_max, x_old - x_new, res)
+
+    def calculate_masses_new(
+        *, attrs, cell_of_drop, dt_sub_cell, cell_active,
+        T_c, p_c, RH_c, lv_c, pvs_c, DTp_c, KTp_c, Sc_c,
+    ):
+        """per-droplet implicit solve; returns (mass_new, success_per_drop)"""
+        water_mass = attrs["water_mass"]
+        ftype = water_mass.dtype
+        T = T_c[cell_of_drop]
+        RH = RH_c[cell_of_drop]
+        lv = lv_c[cell_of_drop]
+        pvs = pvs_c[cell_of_drop]
+        DTp = DTp_c[cell_of_drop]
+        KTp = KTp_c[cell_of_drop]
+        Sc = Sc_c[cell_of_drop]
+        dt_sub = dt_sub_cell[cell_of_drop]
+        active = (water_mass > 0) & cell_active[cell_of_drop]
+
+        safe_mass = jnp.where(active, water_mass, 1e-18)
+        v_drop = f.particle_shape_and_density.mass_to_volume(safe_mass)
+        x_old = f.diffusion_coordinate.x(safe_mass)
+        r_old = f.trivia.radius(v_drop)
+        vdry = attrs["vdry"]
+        x_insane = f.diffusion_coordinate.x(
+            f.particle_shape_and_density.volume_to_mass(vdry / 100)
+        )
+        rd3 = vdry / const.PI_4_3
+        sgm = f.surface_tension.sigma(T, v_drop, vdry, attrs["f_org"])
+        RH_eq = f.hygroscopicity.RH_eq(r_old, T, attrs["kappa"], rd3, sgm)
+
+        lambdaK = f.diffusion_kinetics.lambdaK(T, p_c[cell_of_drop])
+        lambdaD = f.diffusion_kinetics.lambdaD(DTp, T)
+        Dr = f.diffusion_kinetics.D(DTp, r_old, lambdaD)
+        Kr = f.diffusion_kinetics.K(KTp, r_old, lambdaK)
+        vent = f.ventilation.ventilation_coefficient(
+            sqrt_re_times_cbrt_sc=f.trivia.sqrt_re_times_cbrt_sc(
+                Re=attrs["reynolds_number"], Sc=Sc
+            )
+        )
+        Fk = f.drop_growth.Fk(T=T, K=Kr * vent, lv=lv)
+        Fd = f.drop_growth.Fd(T=T, D=Dr * vent, pvs=pvs)
+
+        at_equilibrium = f.trivia.within_tolerance(
+            jnp.abs(RH - RH_eq), RH, RH_rtol
+        )
+        r_dr_dt_old = f.drop_growth.r_dr_dt(RH_eq=RH_eq, RH=RH, Fk=Fk, Fd=Fd)
+        dm_dt_old = f.particle_shape_and_density.dm_dt(r=r_old, r_dr_dt=r_dr_dt_old)
+        dx_old = dt_sub * f.diffusion_coordinate.dx_dt(safe_mass, dm_dt_old)
+        dx_old = jnp.where(at_equilibrium, jnp.zeros((), ftype), dx_old)
+        need_solve = active & (dx_old != 0)
+
+        margs = (x_old, dt_sub, attrs["kappa"], attrs["f_org"], rd3, T, RH, Fk, Fd)
+        a = x_old
+        b = jnp.maximum(x_insane, a + dx_old)
+        fa = minfun(a, *margs)
+        fb = minfun(b, *margs)
+
+        # bracket expansion (reference 498-530): double dx until sign change
+        def expand_body(i, carry):
+            b, fb = carry
+            not_bracketed = (fa * fb >= 0) & need_solve
+            b_try = jnp.maximum(x_insane, a + dx_old * (2.0 ** (i + 1)))
+            fb_try = minfun(b_try, *margs)
+            b = jnp.where(not_bracketed, b_try, b)
+            fb = jnp.where(not_bracketed, fb_try, fb)
+            return b, fb
+
+        b, fb = jax.lax.fori_loop(0, max_iters, expand_body, (b, fb))
+        bracketed = fa * fb < 0
+        success_drop = ~need_solve | bracketed
+
+        lo = jnp.minimum(a, b)
+        hi = jnp.maximum(a, b)
+        flo = jnp.where(a <= b, fa, fb)
+
+        # bisection with masked early exit (GPU-backend-style fixed-count
+        # root find, reference ``impl_thrust_rtc/bisection.py``)
+        def bisect_cond(carry):
+            i, lo, hi, _ = carry
+            unconverged = need_solve & bracketed & ~f.trivia.within_tolerance(
+                hi - lo, jnp.abs(jnp.where(x_old != 0, x_old, 1.0)), rtol_x
+            )
+            return (i < bisect_iters) & jnp.any(unconverged)
+
+        def bisect_body(carry):
+            i, lo, hi, flo = carry
+            mid = 0.5 * (lo + hi)
+            fmid = minfun(mid, *margs)
+            go_lo = flo * fmid < 0
+            hi = jnp.where(go_lo, mid, hi)
+            lo_new = jnp.where(go_lo, lo, mid)
+            flo = jnp.where(go_lo, flo, fmid)
+            return i + 1, lo_new, hi, flo
+
+        _, lo, hi, _ = jax.lax.while_loop(
+            bisect_cond, bisect_body, (0, lo, hi, flo)
+        )
+        x_new = jnp.where(need_solve & bracketed, 0.5 * (lo + hi), x_old)
+        mass_new = f.diffusion_coordinate.mass(x_new)
+        mass_new = jnp.where(active, mass_new, water_mass)
+        return mass_new, success_drop | ~active
+
+    def compute_cell_thermo(thd, qv, rhod, air_density, air_viscosity):
+        T = f.state_variable_triplet.T(rhod, thd)
+        p = f.state_variable_triplet.p(rhod, T, qv)
+        pv = f.state_variable_triplet.pv(p, qv)
+        lv = f.latent_heat_vapourisation.lv(T)
+        pvs = f.saturation_vapour_pressure.pvs_water(T)
+        # Neglect-variant thermics return scalar constants — broadcast
+        DTp = jnp.broadcast_to(jnp.asarray(f.diffusion_thermics.D(T, p)), T.shape)
+        KTp = jnp.broadcast_to(jnp.asarray(f.diffusion_thermics.K(T, p)), T.shape)
+        RH = pv / pvs
+        Sc = f.trivia.air_schmidt_number(
+            dynamic_viscosity=air_viscosity, diffusivity=DTp, density=air_density
+        )
+        return T, p, RH, lv, pvs, DTp, KTp, Sc
+
+    def substep(
+        *, attrs, mult_f, cell_of_drop, cell_active, dt_sub_cell,
+        thd, qv, rhod, ml_old,
+        dthd_dt_pred, dqv_dt_pred, drhod_dt, m_d,
+        air_density, air_viscosity, fake,
+    ):
+        """one trapezoidal substep (reference ``step_impl`` 256-356) on the
+        cells where cell_active"""
+        act = cell_active
+        dt_sub = dt_sub_cell
+        thd = jnp.where(act, thd + dt_sub * dthd_dt_pred / 2, thd)
+        qv = jnp.where(act, qv + dt_sub * dqv_dt_pred / 2, qv)
+        rhod = jnp.where(act, rhod + dt_sub * drhod_dt / 2, rhod)
+
+        T, p, RH, lv, pvs, DTp, KTp, Sc = compute_cell_thermo(
+            thd, qv, rhod, air_density, air_viscosity
+        )
+        mass_new, success_drop = calculate_masses_new(
+            attrs=attrs, cell_of_drop=cell_of_drop, dt_sub_cell=dt_sub_cell,
+            cell_active=cell_active,
+            T_c=T, p_c=p, RH_c=RH, lv_c=lv, pvs_c=pvs, DTp_c=DTp, KTp_c=KTp,
+            Sc_c=Sc,
+        )
+        ml_new = jax.ops.segment_sum(
+            jnp.where(mass_new > 0, mult_f * mass_new, 0.0),
+            cell_of_drop,
+            num_segments=n_cell,
+        )
+        dml_dt = (ml_new - ml_old) / jnp.where(dt_sub > 0, dt_sub, 1.0)
+        dqv_dt_corr = -dml_dt / m_d
+        dthd_dt_corr = f.state_variable_triplet.dthd_dt(
+            rhod=rhod, thd=thd, T=T,
+            d_water_vapour_mixing_ratio__dt=dqv_dt_corr, lv=lv,
+        )
+        thd = jnp.where(act, thd + dt_sub * (dthd_dt_pred / 2 + dthd_dt_corr), thd)
+        qv = jnp.where(act, qv + dt_sub * (dqv_dt_pred / 2 + dqv_dt_corr), qv)
+        rhod = jnp.where(act, rhod + dt_sub * drhod_dt / 2, rhod)
+
+        success_cell = jax.ops.segment_min(
+            success_drop.astype(jnp.int32), cell_of_drop, num_segments=n_cell
+        ).astype(bool) | ~act
+
+        if fake:
+            attrs_out = attrs
+        else:
+            attrs_out = {**attrs, "water_mass": jnp.where(
+                act[cell_of_drop], mass_new, attrs["water_mass"]
+            )}
+        ml_out = jnp.where(act, ml_new, ml_old)
+        return attrs_out, thd, qv, rhod, ml_out, RH, success_cell
+
+    def run_substeps(
+        *, attrs, mult_f, cell_of_drop, n_substeps,
+        thd, qv, rhod, dthd_dt_pred, dqv_dt_pred, drhod_dt, m_d,
+        air_density, air_viscosity,
+    ):
+        """advance every cell through its own n_substeps (lockstep, masked)"""
+        dt_sub_cell = dt / n_substeps.astype(thd.dtype)
+        ml0 = jax.ops.segment_sum(
+            jnp.where(attrs["water_mass"] > 0, mult_f * attrs["water_mass"], 0.0),
+            cell_of_drop,
+            num_segments=n_cell,
+        )
+        ftype = thd.dtype
+        init = (
+            0, attrs["water_mass"], thd, qv, rhod, ml0,
+            jnp.zeros(n_cell, ftype),  # RH_max
+            jnp.ones(n_cell, dtype=bool),  # success
+        )
+
+        def cond(carry):
+            s = carry[0]
+            return s < jnp.max(n_substeps)
+
+        def body(carry):
+            s, water_mass, thd, qv, rhod, ml_old, RH_max, success = carry
+            cell_active = s < n_substeps
+            attrs_s = {**attrs, "water_mass": water_mass}
+            attrs_s, thd, qv, rhod, ml_old, RH, success_cell = substep(
+                attrs=attrs_s, mult_f=mult_f, cell_of_drop=cell_of_drop,
+                cell_active=cell_active, dt_sub_cell=dt_sub_cell,
+                thd=thd, qv=qv, rhod=rhod, ml_old=ml_old,
+                dthd_dt_pred=dthd_dt_pred, dqv_dt_pred=dqv_dt_pred,
+                drhod_dt=drhod_dt, m_d=m_d,
+                air_density=air_density, air_viscosity=air_viscosity,
+                fake=False,
+            )
+            RH_max = jnp.where(cell_active, jnp.maximum(RH_max, RH), RH_max)
+            success = success & success_cell
+            return (s + 1, attrs_s["water_mass"], thd, qv, rhod, ml_old,
+                    RH_max, success)
+
+        (_, water_mass, thd, qv, rhod, _, RH_max, success) = jax.lax.while_loop(
+            cond, body, init
+        )
+        return water_mass, thd, qv, rhod, RH_max, success
+
+    def step_fake(
+        *, attrs, mult_f, cell_of_drop, n_substeps,
+        thd, qv, rhod, dthd_dt_pred, dqv_dt_pred, drhod_dt, m_d,
+        air_density, air_viscosity, cell_mask,
+    ):
+        """ONE substep of length dt/n_substeps without committing attributes
+        (reference ``make_step_fake``); returns (thd_new, success)"""
+        dt_sub_cell = dt / n_substeps.astype(thd.dtype)
+        ml0 = jax.ops.segment_sum(
+            jnp.where(attrs["water_mass"] > 0, mult_f * attrs["water_mass"], 0.0),
+            cell_of_drop,
+            num_segments=n_cell,
+        )
+        _, thd_new, _, _, _, _, success = substep(
+            attrs=attrs, mult_f=mult_f, cell_of_drop=cell_of_drop,
+            cell_active=cell_mask, dt_sub_cell=dt_sub_cell,
+            thd=thd, qv=qv, rhod=rhod, ml_old=ml0,
+            dthd_dt_pred=dthd_dt_pred, dqv_dt_pred=dqv_dt_pred,
+            drhod_dt=drhod_dt, m_d=m_d,
+            air_density=air_density, air_viscosity=air_viscosity,
+            fake=True,
+        )
+        return thd_new, success
+
+    def adapt_substeps(*, n_substeps_prev, thd, fake_kwargs):
+        """per-cell Richardson adaptation (reference ``adapt_substeps``
+        178-228): double n until the one-substep thd error estimate
+        |dthd(dt/n) - multiplier*dthd(dt/(mult*n))| is within rtol_thd"""
+        n = jnp.maximum(n_substeps_min, n_substeps_prev // multiplier)
+        all_cells = jnp.ones(n_cell, dtype=bool)
+
+        # phase 1: double until the fake substep succeeds
+        def p1_cond(carry):
+            i, n, ok = carry
+            return (i < fuse) & jnp.any(~ok)
+
+        def p1_body(carry):
+            i, n, ok = carry
+            thd_new, success = step_fake(n_substeps=n, thd=thd,
+                                         cell_mask=~ok, **fake_kwargs)
+            newly_ok = ok | success
+            n = jnp.where(newly_ok, n, n * multiplier)
+            return i + 1, n, newly_ok
+
+        thd_long0, ok0 = step_fake(n_substeps=n, thd=thd, cell_mask=all_cells,
+                                   **fake_kwargs)
+        _, n, _ = jax.lax.while_loop(
+            p1_cond, p1_body, (0, jnp.where(ok0, n, n * multiplier), ok0)
+        )
+        thd_long, _ = step_fake(n_substeps=n, thd=thd, cell_mask=all_cells,
+                                **fake_kwargs)
+
+        # phase 2: Richardson comparison against mult*n
+        def p2_cond(carry):
+            i, n, done, _ = carry
+            return (i < fuse) & jnp.any(~done)
+
+        def p2_body(carry):
+            i, n, done, thd_long = carry
+            thd_short, success = step_fake(n_substeps=n * multiplier, thd=thd,
+                                           cell_mask=~done, **fake_kwargs)
+            dthd_long = thd_long - thd
+            dthd_short = thd_short - thd
+            error_estimate = jnp.abs(dthd_long - multiplier * dthd_short)
+            within = f.trivia.within_tolerance(error_estimate, thd, rtol_thd)
+            newly_done = done | within | (n * multiplier > n_substeps_max)
+            n = jnp.where(done | within, n, n * multiplier)
+            thd_long = jnp.where(done, thd_long, thd_short)
+            return i + 1, n, newly_done, thd_long
+
+        _, n, _, _ = jax.lax.while_loop(
+            p2_cond, p2_body,
+            (0, n, jnp.zeros(n_cell, dtype=bool), thd_long),
+        )
+        return jnp.minimum(n, n_substeps_max)
+
+    def solve(
+        *, attrs, multiplicity, cell_of_drop, n_substeps,
+        thd, qv, rhod, pthd, pqv, prhod, m_d, air_density, air_viscosity,
+    ):
+        """full condensation step (reference ``solve``, 639-698): returns
+        (water_mass, pthd, pqv, n_substeps, RH_max, success)"""
+        ftype = thd.dtype
+        mult_f = multiplicity.astype(ftype)
+        dthd_dt_pred = (pthd - thd) / dt
+        dqv_dt_pred = (pqv - qv) / dt
+        drhod_dt = (prhod - rhod) / dt
+        fake_kwargs = dict(
+            attrs=attrs, mult_f=mult_f, cell_of_drop=cell_of_drop,
+            qv=qv, rhod=rhod,
+            dthd_dt_pred=dthd_dt_pred, dqv_dt_pred=dqv_dt_pred,
+            drhod_dt=drhod_dt, m_d=m_d,
+            air_density=air_density, air_viscosity=air_viscosity,
+        )
+        if adaptive:
+            n_substeps = adapt_substeps(
+                n_substeps_prev=n_substeps, thd=thd, fake_kwargs=fake_kwargs
+            )
+        water_mass, thd_new, qv_new, _, RH_max, success = run_substeps(
+            attrs=attrs, mult_f=mult_f, cell_of_drop=cell_of_drop,
+            n_substeps=n_substeps,
+            thd=thd, qv=qv, rhod=rhod,
+            dthd_dt_pred=dthd_dt_pred, dqv_dt_pred=dqv_dt_pred,
+            drhod_dt=drhod_dt, m_d=m_d,
+            air_density=air_density, air_viscosity=air_viscosity,
+        )
+        return water_mass, thd_new, qv_new, n_substeps, RH_max, success
+
+    return solve

@@ -49,15 +49,27 @@ class Particulator:
 
     # -- stepping -------------------------------------------------------
     def run(self, steps):
-        for _ in range(steps):
-            t0 = time.perf_counter()
-            self.sim_state = self._step_fn(self.sim_state)
-            self.n_steps += 1
-            for observer in self.observers:
-                observer.notify()
-            self.timers["total"] = self.timers.get("total", 0.0) + (
-                time.perf_counter() - t0
+        """advance `steps` time steps. Without observers the whole chunk runs
+        as ONE device dispatch (jitted fori_loop over the composed step —
+        crucial on TPU where per-dispatch latency dwarfs per-step compute);
+        with observers, steps run one dispatch each with host callbacks in
+        between (reference semantics: observers notified every step,
+        reference ``particulator.py:58-61``)."""
+        t0 = time.perf_counter()
+        if self.observers:
+            for _ in range(steps):
+                self.sim_state = self._step_fn(self.sim_state)
+                self.n_steps += 1
+                for observer in self.observers:
+                    observer.notify()
+        elif steps > 0:
+            self.sim_state = self._multi_step_fn(
+                self.sim_state, jnp.asarray(steps, dtype=jnp.int32)
             )
+            self.n_steps += steps
+        self.timers["total"] = self.timers.get("total", 0.0) + (
+            time.perf_counter() - t0
+        )
 
     def block_until_ready(self):
         jax.block_until_ready(self.sim_state)
