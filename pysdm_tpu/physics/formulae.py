@@ -32,7 +32,7 @@ class Null:
     """placeholder variant for families with no physics selected"""
 
 
-def _bind(variant_cls, const):
+def _bind(variant_cls, const, variant_name=None):
     """bind a variant class's staticmethods to `const`, returning a namespace"""
     ns = SimpleNamespace()
     for name in dir(variant_cls):
@@ -42,7 +42,7 @@ def _bind(variant_cls, const):
         if callable(fn):
             # close over fn/const by value (default-arg trick not needed in a helper)
             setattr(ns, name, _partial_const(fn, const))
-    ns.variant = variant_cls.__name__
+    ns.variant = variant_name or variant_cls.__name__
     return ns
 
 
@@ -157,7 +157,7 @@ class Formulae:
                     f" known: {sorted(variants)}"
                 )
             self._variant_names[family] = name
-            setattr(self, family, _bind(variants[name], self.constants))
+            setattr(self, family, _bind(variants[name], self.constants, name))
 
     def __str__(self):
         return "Formulae(" + ", ".join(
