@@ -1,0 +1,168 @@
+"""Displacement dynamic: particle advection by the flow + sedimentation
+(parity: reference ``PySDM/dynamics/displacement.py``).
+
+TPU-first deltas: the adaptive substep count (reference
+``upload_courant_field``, host-side doubling loop against the
+``|delta courant| -> error`` estimate of Arabas et al. 2015 eqs. 13-16) is
+computed *inside* the jitted step from the current courant fields, so
+time-dependent advectors adapt per step with no host round trip; the substep
+loop is a ``lax.fori_loop`` with a traced trip count. Courant fields are read
+from the env state (keys ``courant_0..courant_{D-1}``), written there by the
+EulerianAdvection dynamic or prescribed by the environment.
+"""
+
+from collections import namedtuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import displacement as disp_ops
+
+DEFAULTS = namedtuple("_", ("rtol", "adaptive"))(rtol=1e-2, adaptive=True)
+
+
+class Displacement:
+    def __init__(
+        self,
+        enable_sedimentation=False,
+        precipitation_counting_level_index: int = 0,
+        adaptive=DEFAULTS.adaptive,
+        rtol=DEFAULTS.rtol,
+    ):
+        self.particulator = None
+        self.enable_sedimentation = enable_sedimentation
+        self.precipitation_counting_level_index = precipitation_counting_level_index
+        self.adaptive = adaptive
+        self.rtol = rtol
+
+    def register(self, builder):
+        self.particulator = builder.particulator
+        builder.request_attribute("relative fall velocity")
+        builder.add_counter("precipitated_mass", 1, None)
+        builder.add_counter("max_n_substeps_displacement", 1, jnp.int32, fill=1)
+
+    @property
+    def precipitation_mass_in_last_step(self):
+        return float(self.particulator.get_counter("precipitated_mass")[0])
+
+    def make_step(self, particulator):
+        mesh = particulator.mesh
+        grid = mesh.grid
+        n_dims = mesh.n_dims
+        strides = mesh.strides.ravel()
+        dt = particulator.dt
+        dz = mesh.dz
+        formulae = particulator.formulae
+        resolver = particulator._resolver
+        enable_sedimentation = self.enable_sedimentation
+        precip_level = self.precipitation_counting_level_index
+        adaptive = self.adaptive
+        rtol = self.rtol
+        courant_strides = tuple(
+            disp_ops.face_strides(grid, d) for d in range(n_dims)
+        )
+        domain_top = grid[-1]
+
+        def n_substeps_from_courant(courant, ftype):
+            """smallest power of two n with (d/n)/(1-d/n) < rtol where
+            d = max |delta courant| (reference ``upload_courant_field``)"""
+            d_max = jnp.zeros((), ftype)
+            for d, c in enumerate(courant):
+                d_max = jnp.maximum(d_max, jnp.max(jnp.abs(jnp.diff(c, axis=d))))
+
+            def cond(n):
+                x = d_max / n
+                return x / (1.0 - x) >= rtol
+
+            def body(n):
+                return n * 2.0
+
+            n = jax.lax.while_loop(cond, body, jnp.ones((), ftype))
+            return n.astype(jnp.int32)
+
+        def step(sim):
+            particles = sim["particles"]
+            env = sim["env"]
+            counters = dict(sim["counters"])
+            courant = tuple(
+                env[f"courant_{d}"].reshape(
+                    tuple(g + (1 if ax == d else 0) for ax, g in enumerate(grid))
+                )
+                for d in range(n_dims)
+            )
+            ftype = courant[0].dtype
+            if adaptive:
+                n_sub = n_substeps_from_courant(courant, ftype)
+            else:
+                n_sub = jnp.asarray(1, jnp.int32)
+            n_sub_f = n_sub.astype(ftype)
+            dt_sub = dt / n_sub_f
+
+            if enable_sedimentation:
+                v_fall = resolver.get(particles, "relative fall velocity")
+            else:
+                v_fall = None
+
+            def substep(_, carry):
+                cell_origin, position_in_cell, multiplicity, rainfall = carry
+                displacement = disp_ops.calculate_displacement(
+                    formulae, courant, courant_strides,
+                    cell_origin, position_in_cell, n_sub_f,
+                )
+                if enable_sedimentation:
+                    # (reference Displacement.calculate_displacement tail):
+                    # convert flow displacement to velocity, subtract fall
+                    # speed, convert back to grid units
+                    displacement = displacement.at[-1].add(
+                        -v_fall * dt_sub / dz
+                    )
+                position_in_cell = position_in_cell + displacement
+                if enable_sedimentation:
+                    rain, multiplicity = disp_ops.flag_precipitated(
+                        cell_origin=cell_origin,
+                        position_in_cell=position_in_cell,
+                        displacement=displacement,
+                        multiplicity=multiplicity,
+                        water_mass=particles.ext("signed water mass"),
+                        precipitation_counting_level_index=precip_level,
+                    )
+                    rainfall = rainfall + rain
+                multiplicity = disp_ops.flag_out_of_column(
+                    cell_origin=cell_origin,
+                    position_in_cell=position_in_cell,
+                    multiplicity=multiplicity,
+                    domain_top_level_index=domain_top,
+                )
+                cell_origin, position_in_cell = disp_ops.update_cell_origin(
+                    cell_origin, position_in_cell
+                )
+                cell_origin = disp_ops.periodic_boundary(cell_origin, grid)
+                return cell_origin, position_in_cell, multiplicity, rainfall
+
+            cell_origin, position_in_cell, multiplicity, rainfall = (
+                jax.lax.fori_loop(
+                    0,
+                    n_sub,
+                    substep,
+                    (
+                        particles.cell_origin,
+                        particles.position_in_cell,
+                        particles.multiplicity,
+                        jnp.zeros((), ftype),
+                    ),
+                )
+            )
+            cell_id = disp_ops.recalculate_cell_id(cell_origin, strides)
+            particles = particles.replace(
+                cell_origin=cell_origin,
+                position_in_cell=position_in_cell,
+                multiplicity=multiplicity,
+                cell_id=cell_id,
+            )
+            counters["precipitated_mass"] = rainfall.reshape(1)
+            counters["max_n_substeps_displacement"] = jnp.maximum(
+                counters["max_n_substeps_displacement"], n_sub.reshape(1)
+            )
+            return {**sim, "particles": particles, "counters": counters}
+
+        return step

@@ -1,3 +1,4 @@
 """environments (parity: reference PySDM/environments/)"""
 from .box import Box
 from .parcel import Parcel
+from .kinematic_1d import Kinematic1D

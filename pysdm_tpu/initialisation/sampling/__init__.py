@@ -1,1 +1,2 @@
 from . import spectral_sampling
+from . import spatial_sampling
