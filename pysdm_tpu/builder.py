@@ -20,6 +20,7 @@ class Builder:
         self.formulae = backend.formulae
         self.requested_attributes = {"multiplicity", "cell id"}
         self._counters = {}
+        self._flags = {}
         self.environment = environment
         if environment is not None:
             environment.register(self)
@@ -44,6 +45,12 @@ class Builder:
     def add_counter(self, name, n_cell, dtype, fill=0):
         dtype = dtype or self.particulator.dtype
         self._counters[name] = jnp.full((n_cell,), fill, dtype=dtype)
+
+    def add_flag(self, name, default: bool):
+        """traced on/off switch for a dynamic (host-togglable without
+        recompilation — the jit-compatible version of the reference's
+        spin-up ``dynamic.enable`` attribute flips)"""
+        self._flags[name] = jnp.asarray(bool(default))
 
     def build(self, attributes: dict, products=()):
         particulator = self.particulator
@@ -111,6 +118,7 @@ class Builder:
             "particles": particles,
             "env": env_state,
             "counters": dict(self._counters),
+            "flags": dict(self._flags),
             "key": key,
         }
 

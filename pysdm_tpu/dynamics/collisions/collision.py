@@ -76,6 +76,7 @@ class Collision:
             self.compute_number_of_fragments.register(builder)
         n_cell = self.particulator.mesh.n_cell
         ftype = self.particulator.dtype
+        builder.add_flag("collision_enable", self.enable)
         builder.add_counter("collision_rate", n_cell, jnp.int64)
         builder.add_counter("collision_rate_deficit", n_cell, ftype)
         builder.add_counter("coalescence_rate", n_cell, jnp.int64)
@@ -191,6 +192,13 @@ class Collision:
             return particles, counters, key, dt_left
 
         def step(sim):
+            # spin-up gate (reference Arabas-2015 SpinUp flips
+            # Collision.enable): traced flag, no recompilation on toggle
+            return jax.lax.cond(
+                sim["flags"]["collision_enable"], _enabled_step, lambda s: s, sim
+            )
+
+        def _enabled_step(sim):
             particles = sim["particles"]
             counters = sim["counters"]
             key = sim["key"]

@@ -38,6 +38,7 @@ class Displacement:
     def register(self, builder):
         self.particulator = builder.particulator
         builder.request_attribute("relative fall velocity")
+        builder.add_flag("sedimentation_enable", self.enable_sedimentation)
         builder.add_counter("precipitated_mass", 1, None)
         builder.add_counter("max_n_substeps_displacement", 1, jnp.int32, fill=1)
 
@@ -99,7 +100,12 @@ class Displacement:
             dt_sub = dt / n_sub_f
 
             if enable_sedimentation:
-                v_fall = resolver.get(particles, "relative fall velocity")
+                # spin-up gate (reference SpinUp flips enable_sedimentation)
+                v_fall = jnp.where(
+                    sim["flags"]["sedimentation_enable"],
+                    resolver.get(particles, "relative fall velocity"),
+                    0.0,
+                )
             else:
                 v_fall = None
 
@@ -126,7 +132,12 @@ class Displacement:
                         water_mass=particles.ext("signed water mass"),
                         precipitation_counting_level_index=precip_level,
                     )
-                    rainfall = rainfall + rain
+                    # with sedimentation gated off, bottom-crossing particles
+                    # still die (as via flag_out_of_column) but are not
+                    # counted as precipitation
+                    rainfall = rainfall + jnp.where(
+                        sim["flags"]["sedimentation_enable"], rain, 0.0
+                    )
                 multiplicity = disp_ops.flag_out_of_column(
                     cell_origin=cell_origin,
                     position_in_cell=position_in_cell,

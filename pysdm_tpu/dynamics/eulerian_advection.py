@@ -61,6 +61,74 @@ def _eval_advector(fn, t, shape, dtype):
         )
 
 
+class MPDATA_2D:
+    """2D prescribed-flow coupling (reference ``mpdata_2d.py``): advects thd
+    and the water-vapour mixing ratio with a stream-function-derived,
+    discretely-nondivergent advector; periodic BCs; g factor = rhod(z).
+    Also publishes the particle courant fields (advector / rhod at faces)."""
+
+    def __init__(
+        self,
+        *,
+        advectees,
+        stream_function,
+        rhod_of_zZ,
+        dt,
+        grid,
+        size,
+        n_iters=2,
+        infinite_gauge=True,
+        nonoscillatory=True,
+        third_order_terms=False,
+    ):
+        if third_order_terms:
+            raise NotImplementedError("third-order terms: not yet implemented")
+        from ..impl import arakawa_c
+
+        self.advectees = advectees
+        self.grid = tuple(grid)
+        self.dt = dt
+        gc = arakawa_c.nondivergent_vector_field_2d(
+            grid, size, dt, stream_function, t=0.0
+        )
+        self.gc = tuple(np.asarray(c, dtype=float) for c in gc)
+        for d, c in enumerate(self.gc):
+            np.testing.assert_array_less(np.abs(c), 1.0)
+        self.g_factor = arakawa_c.make_rhod(grid, rhod_of_zZ)
+        g_vec = (
+            rhod_of_zZ(arakawa_c.x_vec_coord(grid)[-1]),
+            rhod_of_zZ(arakawa_c.z_vec_coord(grid)[-1]),
+        )
+        # particle courant = GC / rhod at the faces (reference
+        # ``mpdata_2d.py:refresh_advector``)
+        self.courant = tuple(self.gc[d] / g_vec[d] for d in range(2))
+        self.opts = dict(
+            n_iters=n_iters,
+            infinite_gauge=infinite_gauge,
+            nonoscillatory=nonoscillatory,
+            bcs=(PERIODIC, PERIODIC),
+        )
+
+    def make_step(self, particulator):
+        grid = self.grid
+        opts = self.opts
+
+        def step(sim):
+            env = dict(sim["env"])
+            ftype = env["pred_qv"].dtype
+            g = jnp.asarray(self.g_factor, dtype=ftype)
+            gc = tuple(jnp.asarray(c, dtype=ftype) for c in self.gc)
+            for name in ("thd", "qv"):
+                env[f"mpdata_{name}"] = mpdata_step(
+                    env[f"pred_{name}"].reshape(grid), gc, g, **opts
+                ).ravel()
+            env["courant_0"] = jnp.asarray(self.courant[0], dtype=ftype).ravel()
+            env["courant_1"] = jnp.asarray(self.courant[1], dtype=ftype).ravel()
+            return {**sim, "env": env}
+
+        return step
+
+
 class MPDATA_1D:
     """single-column coupling (reference ``mpdata_1d.py``): one advectee
     (water vapour mixing ratio), time-dependent prescribed advector

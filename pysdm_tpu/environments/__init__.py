@@ -2,3 +2,4 @@
 from .box import Box
 from .parcel import Parcel
 from .kinematic_1d import Kinematic1D
+from .kinematic_2d import Kinematic2D

@@ -7,7 +7,9 @@ import numpy as np
 from scipy.stats import expon, gamma as gamma_dist, lognorm, norm, uniform
 from scipy.interpolate import interp1d
 
-default_interpolation_grid = tuple(np.linspace(0, 1, 999)[1:-1])
+# spans the sampling cdf range (reference spectra/sum.py: linspace over
+# default_cdf_range) so ConstantMultiplicity percentile queries stay in bounds
+default_interpolation_grid = tuple(np.linspace(0.00001, 0.99999, 999))
 
 
 class Spectrum:

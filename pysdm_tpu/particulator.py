@@ -89,6 +89,11 @@ class Particulator:
         c = self.sim_state["counters"][name]
         self.sim_state["counters"][name] = jnp.zeros_like(c)
 
+    def set_flag(self, name, value):
+        if name not in self.sim_state["flags"]:
+            raise KeyError(f"unknown flag: {name}")
+        self.sim_state["flags"][name] = jnp.asarray(bool(value))
+
     def get_env(self, key):
         if key in self.sim_state["env"]:
             return np.asarray(self.sim_state["env"][key])
