@@ -139,6 +139,7 @@ class Builder:
                 sim = fn(sim)
             return sim
 
+        particulator._step_fn_raw = full_step  # for shard_map wrapping
         particulator._step_fn = jax.jit(full_step)
 
         def multi_step(sim, n):

@@ -28,12 +28,19 @@ class Displacement:
         precipitation_counting_level_index: int = 0,
         adaptive=DEFAULTS.adaptive,
         rtol=DEFAULTS.rtol,
+        distributed_x: dict = None,
     ):
+        """``distributed_x`` (multi-chip mode): dict(axis_name=<mesh axis>,
+        capacity=<max migrations per step per direction>) — the grid's x axis
+        is decomposed into per-device slabs; instead of the periodic x-wrap,
+        slab-crossing particles are migrated to the ring neighbour
+        (parallel.migration), and courant gathers use halo-extended fields."""
         self.particulator = None
         self.enable_sedimentation = enable_sedimentation
         self.precipitation_counting_level_index = precipitation_counting_level_index
         self.adaptive = adaptive
         self.rtol = rtol
+        self.distributed_x = distributed_x
 
     def register(self, builder):
         self.particulator = builder.particulator
@@ -41,6 +48,8 @@ class Displacement:
         builder.add_flag("sedimentation_enable", self.enable_sedimentation)
         builder.add_counter("precipitated_mass", 1, None)
         builder.add_counter("max_n_substeps_displacement", 1, jnp.int32, fill=1)
+        if self.distributed_x is not None:
+            builder.add_counter("migration_dropped", 1, jnp.int64)
 
     @property
     def precipitation_mass_in_last_step(self):
@@ -59,9 +68,18 @@ class Displacement:
         precip_level = self.precipitation_counting_level_index
         adaptive = self.adaptive
         rtol = self.rtol
-        courant_strides = tuple(
-            disp_ops.face_strides(grid, d) for d in range(n_dims)
-        )
+        distributed = self.distributed_x
+        if distributed is None:
+            courant_strides = tuple(
+                disp_ops.face_strides(grid, d) for d in range(n_dims)
+            )
+        else:
+            assert n_dims == 2, "distributed displacement: 2D (x, z) only"
+            # courant fields get a 1-column x halo on each side
+            ext_grid = (grid[0] + 2, grid[1])
+            courant_strides = tuple(
+                disp_ops.face_strides(ext_grid, d) for d in range(n_dims)
+            )
         domain_top = grid[-1]
 
         def n_substeps_from_courant(courant, ftype):
@@ -91,6 +109,12 @@ class Displacement:
                 )
                 for d in range(n_dims)
             )
+            if distributed is not None:
+                from ..parallel.halo import ring_halo_pad
+
+                courant = tuple(
+                    ring_halo_pad(c, 0, distributed["axis_name"]) for c in courant
+                )
             ftype = courant[0].dtype
             if adaptive:
                 n_sub = n_substeps_from_courant(courant, ftype)
@@ -109,11 +133,16 @@ class Displacement:
             else:
                 v_fall = None
 
+            if distributed is not None:
+                gather_offset = jnp.asarray([1, 0], dtype=jnp.int32)[:, None]
+            else:
+                gather_offset = jnp.zeros((n_dims, 1), dtype=jnp.int32)
+
             def substep(_, carry):
                 cell_origin, position_in_cell, multiplicity, rainfall = carry
                 displacement = disp_ops.calculate_displacement(
                     formulae, courant, courant_strides,
-                    cell_origin, position_in_cell, n_sub_f,
+                    cell_origin + gather_offset, position_in_cell, n_sub_f,
                 )
                 if enable_sedimentation:
                     # (reference Displacement.calculate_displacement tail):
@@ -147,7 +176,13 @@ class Displacement:
                 cell_origin, position_in_cell = disp_ops.update_cell_origin(
                     cell_origin, position_in_cell
                 )
-                cell_origin = disp_ops.periodic_boundary(cell_origin, grid)
+                if distributed is None:
+                    cell_origin = disp_ops.periodic_boundary(cell_origin, grid)
+                else:
+                    # x stays unwrapped (migration resolves slab crossings
+                    # after the substep loop); wrap z as the reference does
+                    z_wrapped = cell_origin[-1] % grid[-1]
+                    cell_origin = cell_origin.at[-1].set(z_wrapped)
                 return cell_origin, position_in_cell, multiplicity, rainfall
 
             cell_origin, position_in_cell, multiplicity, rainfall = (
@@ -163,6 +198,35 @@ class Displacement:
                     ),
                 )
             )
+            if distributed is not None:
+                from ..parallel.migration import migrate_ring
+
+                nx_local = grid[0]
+                x = cell_origin[0]
+                dest_shift = jnp.where(x < 0, -1, jnp.where(x >= nx_local, 1, 0))
+                dest_shift = jnp.where(multiplicity > 0, dest_shift, 0)
+                cell_origin = cell_origin.at[0].set(x % nx_local)
+                arrays = [
+                    multiplicity,
+                    particles.extensive,
+                    particles.maximum,
+                    cell_origin,
+                    position_in_cell,
+                ]
+                arrays, n_dropped = migrate_ring(
+                    arrays=arrays,
+                    multiplicity_index=0,
+                    dest_shift=dest_shift.astype(jnp.int32),
+                    axis_name=distributed["axis_name"],
+                    capacity=distributed["capacity"],
+                )
+                multiplicity, extensive, maximum, cell_origin, position_in_cell = (
+                    arrays
+                )
+                particles = particles.replace(extensive=extensive, maximum=maximum)
+                counters["migration_dropped"] = (
+                    counters["migration_dropped"] + n_dropped.reshape(1)
+                )
             cell_id = disp_ops.recalculate_cell_id(cell_origin, strides)
             particles = particles.replace(
                 cell_origin=cell_origin,

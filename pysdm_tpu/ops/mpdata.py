@@ -31,7 +31,13 @@ def _eps(dtype):
 
 
 def _pad1(arr, axis, bc):
-    """halo-1 pad along one axis"""
+    """halo-1 pad along one axis; a ``('shard', axis_name)`` bc pads with the
+    neighbouring shards' boundary slices via ppermute (parallel.halo) —
+    globally-periodic semantics under shard_map"""
+    if isinstance(bc, tuple) and bc[0] == "shard":
+        from ..parallel.halo import ring_halo_pad
+
+        return ring_halo_pad(arr, axis, bc[1])
     pad = [(0, 0)] * arr.ndim
     pad[axis] = (1, 1)
     return jnp.pad(arr, pad, mode="wrap" if bc == PERIODIC else "edge")

@@ -1,0 +1,371 @@
+"""Multi-chip 2D kinematic simulation: x-slab domain decomposition.
+
+The genuinely new layer vs the single-device reference (SURVEY.md §2.5/§7
+delta #8): the (x, z) domain is decomposed into per-device x-slabs over a 1D
+device mesh; Eulerian fields advect with ring-halo-exchange MPDATA
+(parallel.halo), super-droplets are owned by their slab and migrate via
+fixed-capacity ppermute buffers after displacement (parallel.migration),
+while condensation and collisions are cell-local and need no communication.
+The per-shard step is the ordinary single-chip composed step (built by the
+standard Builder against the local mesh) wrapped in ``shard_map``.
+
+Works identically on a real TPU mesh and on the emulated CPU device mesh
+(``xla_force_host_platform_device_count``) — the testing analogue of the
+reference's FakeThrustRTC."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh as JaxMesh, PartitionSpec as P
+
+if hasattr(jax, "shard_map"):  # jax >= 0.8
+    shard_map = jax.shard_map
+else:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..backends import CPU
+from ..builder import Builder
+from ..dynamics import (
+    AmbientThermodynamics,
+    Coalescence,
+    Condensation,
+    Displacement,
+    EulerianAdvection,
+)
+from ..dynamics.eulerian_advection import MPDATA_2D
+from ..environments.kinematic_2d import Kinematic2D
+from ..impl import arakawa_c
+from ..initialisation.sampling.spatial_sampling import Pseudorandom
+from ..ops.mpdata import mpdata_step
+
+
+class DistributedMPDATA_2D(MPDATA_2D):
+    """MPDATA_2D whose step runs on the local slab: the (precomputed global)
+    advector is sliced by the shard index and the x boundary condition is the
+    ring halo exchange"""
+
+    def __init__(self, *, axis_name, n_shards, **kwargs):
+        super().__init__(**kwargs)
+        self.axis_name = axis_name
+        self.n_shards = n_shards
+        self.opts["bcs"] = (("shard", axis_name), "periodic")
+
+    def local_gc(self, shard_idx, ftype):
+        """slab slice of the global advector: x-faces (nxl+1, nz) overlap
+        between neighbours; z-faces (nxl, nz+1)"""
+        nx, nz = self.grid
+        nxl = nx // self.n_shards
+        gc_x = jnp.asarray(self.gc[0], dtype=ftype)
+        gc_z = jnp.asarray(self.gc[1], dtype=ftype)
+        x0 = shard_idx.astype(jnp.int32) * nxl
+        zero = jnp.zeros((), jnp.int32)
+        return (
+            jax.lax.dynamic_slice(gc_x, (x0, zero), (nxl + 1, nz)),
+            jax.lax.dynamic_slice(gc_z, (x0, zero), (nxl, nz + 1)),
+        )
+
+    def make_step(self, particulator):
+        nx, nz = self.grid
+        nxl = nx // self.n_shards
+        opts = self.opts
+        axis_name = self.axis_name
+
+        def step(sim):
+            env = dict(sim["env"])
+            ftype = env["pred_qv"].dtype
+            idx = jax.lax.axis_index(axis_name)
+            gc = self.local_gc(idx, ftype)
+            g = jnp.asarray(self.g_factor[:nxl], dtype=ftype)  # x-uniform
+            for name in ("thd", "qv"):
+                env[f"mpdata_{name}"] = mpdata_step(
+                    env[f"pred_{name}"].reshape((nxl, nz)), gc, g, **opts
+                ).ravel()
+            courant_x = jnp.asarray(self.courant[0], dtype=ftype)
+            courant_z = jnp.asarray(self.courant[1], dtype=ftype)
+            x0 = idx.astype(jnp.int32) * nxl
+            zero = jnp.zeros((), jnp.int32)
+            env["courant_0"] = jax.lax.dynamic_slice(
+                courant_x, (x0, zero), (nxl + 1, nz)
+            ).ravel()
+            env["courant_1"] = jax.lax.dynamic_slice(
+                courant_z, (x0, zero), (nxl, nz + 1)
+            ).ravel()
+            return {**sim, "env": env}
+
+        return step
+
+
+def _assign_particles_to_shards(attributes, n_shards, nx_local, capacity):
+    """split globally-sampled particles into per-shard fixed-capacity blocks,
+    converting cell x-origins to slab-local coordinates; dead padding slots
+    get multiplicity 0 (and epsilon dry volumes to keep derived attributes
+    finite)"""
+    cell_origin = np.asarray(attributes["cell origin"])
+    shard_of = cell_origin[0] // nx_local
+    out = {k: [] for k in attributes}
+    for s in range(n_shards):
+        sel = np.nonzero(shard_of == s)[0]
+        if len(sel) > capacity:
+            raise ValueError(
+                f"shard {s}: {len(sel)} particles > capacity {capacity}"
+            )
+        pad = capacity - len(sel)
+        for key, value in attributes.items():
+            v = np.asarray(value)
+            taken = v[..., sel]
+            if key == "multiplicity":
+                filler = np.zeros((pad,), dtype=v.dtype)
+            elif key == "cell origin":
+                filler = np.zeros((v.shape[0], pad), dtype=v.dtype)
+            elif key in ("dry volume", "kappa times dry volume"):
+                filler = np.full((pad,), 1e-25)
+            elif key == "water mass":
+                filler = np.zeros((pad,))  # 0 -> inert in the implicit solver
+            else:
+                filler = np.zeros(taken.shape[:-1] + (pad,), dtype=v.dtype)
+            if key == "cell origin":
+                taken = taken.copy()
+                taken[0] -= s * nx_local
+            out[key].append(np.concatenate([taken, filler], axis=-1))
+    return {k: np.concatenate(v, axis=-1) for k, v in out.items()}
+
+
+class DistributedSimulation2D:
+    """Arabas-2015-style 2D warm-rain case decomposed over an ("x",) device
+    mesh. API: run(steps), get_env(key) (global field), attributes (global)."""
+
+    def __init__(
+        self,
+        settings,
+        *,
+        n_shards=None,
+        backend_class=CPU,
+        capacity_factor=2.0,
+        migration_capacity=None,
+        axis_name="x",
+    ):
+        devices = jax.devices()
+        n_shards = n_shards or len(devices)
+        nx, nz = settings.grid
+        assert nx % n_shards == 0, "nx must divide the shard count"
+        nxl = nx // n_shards
+        self.n_shards = n_shards
+        self.axis_name = axis_name
+        self.settings = settings
+        self.jmesh = JaxMesh(np.array(devices[:n_shards]), axis_names=(axis_name,))
+
+        n_sd_global = settings.n_sd
+        capacity = int(capacity_factor * n_sd_global / n_shards)
+        migration_capacity = migration_capacity or max(64, capacity // 8)
+
+        # ---- local template simulation (per-shard mesh + dynamics) --------
+        backend = backend_class(formulae=settings.formulae)
+        environment = Kinematic2D(
+            dt=settings.dt,
+            grid=(nxl, nz),
+            size=(settings.size[0] / n_shards, settings.size[1]),
+            rhod_of=settings.rhod_of_zZ,
+        )
+        builder = Builder(n_sd=capacity, backend=backend, environment=environment)
+        builder.add_dynamic(AmbientThermodynamics())
+        builder.add_dynamic(Condensation(adaptive=settings.condensation_adaptive))
+        # local-slab advectee fields (profiles are x-uniform, so every slab
+        # starts from the same columns); the advector stays global and is
+        # sliced per shard inside the step
+        advectees = {
+            "th": np.repeat(
+                settings.initial_dry_potential_temperature_profile.reshape(1, -1),
+                nxl, axis=0,
+            ),
+            "water_vapour_mixing_ratio": np.repeat(
+                settings.initial_vapour_mixing_ratio_profile.reshape(1, -1),
+                nxl, axis=0,
+            ),
+        }
+        solver = DistributedMPDATA_2D(
+            axis_name=axis_name,
+            n_shards=n_shards,
+            advectees=advectees,
+            stream_function=settings.stream_function,
+            rhod_of_zZ=settings.rhod_of_zZ,
+            dt=settings.dt,
+            grid=settings.grid,  # global grid: advector built once, sliced per shard
+            size=settings.size,
+            n_iters=settings.mpdata_iters,
+            infinite_gauge=settings.mpdata_iga,
+            nonoscillatory=settings.mpdata_fct,
+        )
+        builder.add_dynamic(EulerianAdvection(solver))
+        builder.add_dynamic(
+            Displacement(
+                enable_sedimentation=True,
+                distributed_x=dict(axis_name=axis_name, capacity=migration_capacity),
+            )
+        )
+        builder.add_dynamic(
+            Coalescence(
+                collision_kernel=settings.kernel,
+                adaptive=settings.coalescence_adaptive,
+            )
+        )
+
+        # ---- global initial attributes, assigned to slabs -----------------
+        positions = Pseudorandom.sample(
+            grid=settings.grid, n_sd=n_sd_global, seed=settings.formulae.seed
+        )
+        global_env = Kinematic2D(
+            dt=settings.dt, grid=settings.grid, size=settings.size,
+            rhod_of=settings.rhod_of_zZ,
+        )
+        # reuse the template particulator for formulae access; initial fields
+        # are the global x-uniform profiles (instance attr shadows the
+        # solver-backed method)
+        global_env.particulator = builder.particulator
+        global_env.formulae = settings.formulae
+        thd_glob = np.repeat(
+            settings.initial_dry_potential_temperature_profile.reshape(1, -1),
+            nx, axis=0,
+        ).ravel()
+        qv_glob = np.repeat(
+            settings.initial_vapour_mixing_ratio_profile.reshape(1, -1),
+            nx, axis=0,
+        ).ravel()
+        global_env._initial_fields = lambda: (thd_glob, qv_glob)
+        global_mesh_attrs = global_env.init_attributes(
+            spatial_discretisation=_Precomputed(positions),
+            dry_radius_spectrum=settings.spectrum_per_mass_of_dry_air,
+            kappa=settings.kappa,
+            n_sd=n_sd_global,
+            seed=settings.formulae.seed,
+        )
+        sharded_attrs = _assign_particles_to_shards(
+            global_mesh_attrs, n_shards, nxl, capacity
+        )
+        # build with shard-0's block to fix shapes, then overwrite state
+        template_attrs = {
+            k: np.asarray(v)[..., :capacity] for k, v in sharded_attrs.items()
+        }
+        # pre-round so dead padding slots (multiplicity 0) pass the builder's
+        # float-discretisation zero guard
+        template_attrs["multiplicity"] = (
+            template_attrs["multiplicity"].round().astype(np.int64)
+        )
+        self.particulator = builder.build(template_attrs)
+        p = self.particulator
+
+        # ---- stacked global state -----------------------------------------
+        from ..impl.state import make_particle_state
+
+        full = make_particle_state(
+            multiplicity=sharded_attrs["multiplicity"].round().astype(np.int64),
+            extensive={
+                name: np.asarray(
+                    {
+                        "signed water mass": sharded_attrs["water mass"],
+                        "dry volume": sharded_attrs["dry volume"],
+                        "kappa times dry volume": sharded_attrs[
+                            "kappa times dry volume"
+                        ],
+                    }[name]
+                )
+                for name in p.particles.ext_names
+            },
+            maximum={},
+            cell_id=None,
+            cell_origin=sharded_attrs["cell origin"],
+            position_in_cell=sharded_attrs["position in cell"],
+            mult_dtype=p.mult_dtype,
+            dtype=p.dtype,
+        )
+        local_strides = environment.mesh.strides.ravel()
+        cell_id = (
+            local_strides[:, None] * np.asarray(full.cell_origin)
+        ).sum(axis=0).astype(np.int32)
+        full = full.replace(cell_id=jnp.asarray(cell_id))
+
+        env0 = p.sim_state["env"]
+        env = {k: jnp.tile(v, (n_shards,) + (1,) * (v.ndim - 1)) if v.ndim else
+               jnp.tile(v.reshape(1), n_shards) for k, v in env0.items()}
+        counters = {
+            k: jnp.tile(v, n_shards) for k, v in p.sim_state["counters"].items()
+        }
+        keys = jax.random.split(
+            jax.random.PRNGKey(settings.formulae.seed), n_shards
+        )
+        self_sim = {
+            "particles": full,
+            "env": env,
+            "counters": counters,
+            "flags": p.sim_state["flags"],
+            "key": keys,
+        }
+        p.sim_state = self_sim
+
+        # ---- shard_map-wrapped step ----------------------------------------
+        raw_step = p._step_fn_raw
+
+        def local_step(sim):
+            sim = {**sim, "key": sim["key"][0],
+                   "env": {**sim["env"], "t": sim["env"]["t"][0]}}
+            out = raw_step(sim)
+            return {**out, "key": out["key"][None],
+                    "env": {**out["env"], "t": out["env"]["t"][None]}}
+
+        spec = self._sim_spec(self_sim)
+        sharded = shard_map(
+            local_step, mesh=self.jmesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,
+        )
+        p._step_fn = jax.jit(sharded)
+        p._multi_step_fn = jax.jit(
+            lambda sim, n: jax.lax.fori_loop(0, n, lambda _, s: sharded(s), sim)
+        )
+        self.n_cell_local = nxl * nz
+
+    def _sim_spec(self, sim):
+        ax = self.axis_name
+        particles = sim["particles"].replace(
+            multiplicity=P(ax),
+            extensive=P(None, ax),
+            maximum=P(None, ax),
+            cell_id=P(ax),
+            cell_origin=P(None, ax),
+            position_in_cell=P(None, ax),
+        )
+        return {
+            "particles": particles,
+            "env": {k: P(ax) for k in sim["env"]},
+            "counters": {k: P(ax) for k in sim["counters"]},
+            "flags": {k: P() for k in sim["flags"]},
+            "key": P(ax),
+        }
+
+    # ---- host-side access ------------------------------------------------
+    def run(self, steps):
+        self.particulator.run(steps)
+
+    def get_env(self, key):
+        """global field in (nx, nz) layout (shards are x-contiguous)"""
+        return np.asarray(self.particulator.sim_state["env"][key])
+
+    @property
+    def attributes(self):
+        return self.particulator.attributes
+
+    def global_cell_id(self):
+        """cell ids in global flat (x-major) coordinates"""
+        local = np.asarray(self.particulator.particles.cell_id)
+        n = local.shape[0] // self.n_shards
+        shard = np.arange(local.shape[0]) // n
+        return local + shard * self.n_cell_local
+
+
+class _Precomputed:
+    """spatial-sampling shim returning precomputed positions"""
+
+    def __init__(self, positions):
+        self.positions = positions
+
+    def sample(self, **kwargs):
+        return self.positions

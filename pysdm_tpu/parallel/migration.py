@@ -1,0 +1,89 @@
+"""Super-droplet migration between domain shards.
+
+After displacement, particles whose cell moved outside the owning x-slab are
+handed to the ring neighbour (courant < 1 and halo-1 advection guarantee
+single-slab moves per step, so only +-1 exchanges are needed — the TPU-native
+replacement for what a distributed reference would do with MPI all-to-all).
+Fixed-capacity send buffers keep shapes static; overflow beyond capacity is
+counted (particles dropped with their multiplicity recorded in a deficit
+counter, mirroring the reference's breakup-overflow bookkeeping style)."""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _pack(arrays, mask, capacity):
+    """gather up to `capacity` masked particles to the buffer front.
+    Returns (buffers, valid, n_over) — arrays may be 1D (n,) or 2D (k, n)."""
+    n = mask.shape[0]
+    order = jnp.argsort(~mask)  # stable: masked first, original order kept
+    count = jnp.sum(mask)
+    take = order[:capacity]
+    valid = jnp.arange(capacity) < count
+    bufs = []
+    for a in arrays:
+        if a.ndim == 1:
+            bufs.append(a[take])
+        else:
+            bufs.append(a[:, take])
+    return bufs, valid, jnp.maximum(count - capacity, 0)
+
+
+def _place(arrays, free_mask, bufs, valid):
+    """scatter valid buffer entries into free slots (multiplicity-0 graves)"""
+    n = free_mask.shape[0]
+    capacity = valid.shape[0]
+    free_order = jnp.argsort(~free_mask)  # free slots first
+    slots = free_order[:capacity]
+    # if more valid incomers than free slots, the surplus is dropped (counted
+    # by the caller via free-capacity check); guard the scatter with validity
+    slot_ok = valid & (jnp.arange(capacity) < jnp.sum(free_mask))
+    out = []
+    safe_slots = jnp.where(slot_ok, slots, n)  # n = out-of-range, dropped
+    for a, b in zip(arrays, bufs):
+        if a.ndim == 1:
+            out.append(a.at[safe_slots].set(b, mode="drop"))
+        else:
+            out.append(a.at[:, safe_slots].set(b, mode="drop"))
+    n_lost = jnp.sum(valid) - jnp.sum(slot_ok)
+    return out, n_lost
+
+
+def migrate_ring(*, arrays, multiplicity_index, dest_shift, axis_name, capacity):
+    """move particles with dest_shift == +-1 to the ring neighbour.
+
+    arrays: list of per-particle arrays ((n,) or (k, n)); the one at
+    ``multiplicity_index`` is the (integer) multiplicity defining liveness.
+    Returns (arrays, n_dropped) with migrated particles zeroed at the source
+    and placed into dead slots at the destination."""
+    n_shards = lax.psum(1, axis_name)
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    mult = arrays[multiplicity_index]
+    n_dropped = jnp.zeros((), jnp.int64)
+
+    # pack BOTH directions from the pre-migration state (a slot refilled by
+    # an incoming particle must not be re-shipped by the other direction),
+    # then kill all departures at the source before any placement
+    shipments = []
+    departing = jnp.zeros_like(mult, dtype=bool)
+    for direction, perm in ((1, fwd), (-1, bwd)):
+        mask = (dest_shift == direction) & (mult > 0)
+        bufs, valid, n_over = _pack(arrays, mask, capacity)
+        n_dropped = n_dropped + n_over.astype(jnp.int64)
+        departing = departing | mask
+        bufs = [lax.ppermute(b, axis_name, perm=perm) for b in bufs]
+        valid = lax.ppermute(valid, axis_name, perm=perm)
+        shipments.append((bufs, valid))
+
+    arrays = [
+        jnp.where(departing, 0, a) if i == multiplicity_index else a
+        for i, a in enumerate(arrays)
+    ]
+    for bufs, valid in shipments:
+        free = arrays[multiplicity_index] <= 0
+        arrays, n_lost = _place(arrays, free, bufs, valid)
+        n_dropped = n_dropped + n_lost.astype(jnp.int64)
+
+    return arrays, n_dropped
