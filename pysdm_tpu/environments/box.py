@@ -1,6 +1,10 @@
 """0D box environment (parity: reference ``PySDM/environments/box.py``):
-no thermodynamics, a plain mapping of ambient scalars plus a cell volume."""
+no thermodynamics, a plain mapping of ambient scalar fields plus a cell
+volume. Ambient fields set before build enter the traced env state (so e.g.
+box freezing tests can prescribe T/RH); fields set after build update the
+state in place between steps."""
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..impl.mesh import Mesh
@@ -20,17 +24,31 @@ class Box:
         builder.particulator.dt = self.dt
 
     def __getitem__(self, key):
+        if (
+            self.particulator is not None
+            and self.particulator.sim_state
+            and key in self.particulator.sim_state["env"]
+        ):
+            return np.asarray(self.particulator.sim_state["env"][key])
         return self._ambient[key]
 
     def __setitem__(self, key, value):
         self._ambient[key] = np.asarray(value)
+        if self.particulator is not None and self.particulator.sim_state:
+            dtype = self.particulator.dtype
+            self.particulator.sim_state["env"][key] = jnp.atleast_1d(
+                jnp.asarray(value, dtype=dtype)
+            )
 
     def __contains__(self, key):
         return key in self._ambient
 
     def init_env_state(self, dtype):
-        """functional env state entering the jitted step (none for Box)"""
-        return {}
+        """ambient fields prescribed pre-build become traced state"""
+        return {
+            k: jnp.atleast_1d(jnp.asarray(v, dtype=dtype))
+            for k, v in self._ambient.items()
+        }
 
     def sync(self):
         pass

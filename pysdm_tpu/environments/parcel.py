@@ -122,10 +122,13 @@ class Parcel:
             delta_liquid = env["delta_qv_cond"]
             qv_mid = env["qv"] - delta_liquid / 2
             lv = f.latent_heat_vapourisation.lv(env["T"])
+            dql_dz = jnp.where(
+                dz_dt != 0, delta_liquid / jnp.where(dz_dt != 0, dz_dt, 1.0) / dt, 0.0
+            )
             drho_dz = f.hydrostatics.drho_dz(
                 p=env["p"], T=env["T"],
                 water_vapour_mixing_ratio=qv_mid, lv=lv,
-                d_liquid_water_mixing_ratio__dz=delta_liquid / dz_dt / dt,
+                d_liquid_water_mixing_ratio__dz=dql_dz,
             )
             env["z"] = env["z"] + dt * dz_dt
             env["pred_rhod"] = env["rhod"] + dt * dz_dt * drho_dz

@@ -17,6 +17,7 @@ EXTENSIVE_NAMES = (
     "dry volume",
     "dry volume organic",
     "kappa times dry volume",
+    "immersed surface area",
     "heat",
     "moles_1H",
     "moles_2H",

@@ -15,10 +15,12 @@ from types import SimpleNamespace
 
 from .constants import make_constants
 from . import (
+    diffusion_ice,
     diffusion_kinetics,
     diffusion_thermics,
     drop_growth,
     hygroscopicity,
+    ice_nucleation,
     latent_heat,
     misc_families,
     particle_shape_and_density,
@@ -78,8 +80,8 @@ _FAMILIES = {
         "Constant",
     ),
     "diffusion_kinetics": (diffusion_kinetics.VARIANTS, "FuchsSutugin"),
-    "diffusion_ice_kinetics": (_NULL_VARIANTS | {"Standard": Null, "Neglect": Null}, "Standard"),
-    "diffusion_ice_capacity": (_NULL_VARIANTS | {"Spherical": Null, "Columnar": Null}, "Spherical"),
+    "diffusion_ice_kinetics": (diffusion_ice.KINETICS_VARIANTS, "Standard"),
+    "diffusion_ice_capacity": (diffusion_ice.CAPACITY_VARIANTS, "Spherical"),
     "diffusion_thermics": (diffusion_thermics.VARIANTS, "Neglect"),
     "ventilation": (misc_families.VENTILATION_VARIANTS, "Neglect"),
     "state_variable_triplet": (state_variable_triplet.VARIANTS, "LibcloudphPlusPlus"),
@@ -91,9 +93,16 @@ _FAMILIES = {
         misc_families.HYDROSTATICS_VARIANTS,
         "ConstantGVapourMixingRatioAndThetaStd",
     ),
-    "freezing_temperature_spectrum": (_NULL_VARIANTS, "Null"),
-    "heterogeneous_ice_nucleation_rate": (_NULL_VARIANTS, "Null"),
-    "homogeneous_ice_nucleation_rate": (_NULL_VARIANTS, "Null"),
+    "freezing_temperature_spectrum": (
+        _NULL_VARIANTS | ice_nucleation.FREEZING_TEMPERATURE_SPECTRUM_VARIANTS,
+        "Null",
+    ),
+    "heterogeneous_ice_nucleation_rate": (
+        _NULL_VARIANTS | ice_nucleation.HETEROGENEOUS_RATE_VARIANTS, "Null"
+    ),
+    "homogeneous_ice_nucleation_rate": (
+        _NULL_VARIANTS | ice_nucleation.HOMOGENEOUS_RATE_VARIANTS, "Null"
+    ),
     "fragmentation_function": (_NULL_VARIANTS | {"AlwaysN": Null}, "AlwaysN"),
     "isotope_equilibrium_fractionation_factors": (_NULL_VARIANTS, "Null"),
     "isotope_kinetic_fractionation_factors": (_NULL_VARIANTS, "Null"),

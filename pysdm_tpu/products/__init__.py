@@ -22,3 +22,9 @@ from .collision import (
     CollisionRateDeficitPerGridbox,
     CoalescenceRatePerGridbox,
 )
+from .freezing import (
+    IceWaterContent,
+    SpecificIceWaterContent,
+    FrozenParticleConcentration,
+    FrozenFraction,
+)
