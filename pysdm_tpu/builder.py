@@ -21,6 +21,7 @@ class Builder:
         self.requested_attributes = {"multiplicity", "cell id"}
         self._counters = {}
         self._flags = {}
+        self._extra_env = {}
         self.environment = environment
         if environment is not None:
             environment.register(self)
@@ -51,6 +52,10 @@ class Builder:
         recompilation — the jit-compatible version of the reference's
         spin-up ``dynamic.enable`` attribute flips)"""
         self._flags[name] = jnp.asarray(bool(default))
+
+    def add_env_field(self, name, value):
+        """dynamic-owned env-state entry (e.g. trace-gas mixing ratios)"""
+        self._extra_env[name] = jnp.asarray(value)
 
     def build(self, attributes: dict, products=()):
         particulator = self.particulator
@@ -100,6 +105,7 @@ class Builder:
             if cname in EXTENSIVE_NAMES and cname not in extensive:
                 if cname in ("signed water mass",):
                     raise ValueError("water mass / volume must be initialised")
+                extensive[cname] = np.zeros(multiplicity.shape[0])
 
         particles = make_particle_state(
             multiplicity=multiplicity,
@@ -113,6 +119,8 @@ class Builder:
         )
 
         env_state = self.environment.init_env_state(dtype)
+        for name, value in self._extra_env.items():
+            env_state[name] = jnp.asarray(value, dtype=dtype)
         key = jax.random.PRNGKey(formulae.seed)
         particulator.sim_state = {
             "particles": particles,

@@ -8,3 +8,5 @@ from .freezing import Freezing
 from .vapour_deposition_on_ice import VapourDepositionOnIce
 from .seeding import Seeding
 from .relaxed_velocity import RelaxedVelocity
+from .aqueous_chemistry import AqueousChemistry
+from .isotopic_fractionation import IsotopicFractionation

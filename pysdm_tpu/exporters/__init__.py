@@ -1,1 +1,4 @@
-"""exporters (netCDF / VTK); parity: reference PySDM/exporters/"""
+"""exporters (parity: reference PySDM/exporters/): netCDF via scipy,
+self-contained legacy-VTK writers"""
+from .netcdf_exporter import NetCDFExporter
+from .vtk_exporter import VTKExporter

@@ -95,6 +95,19 @@ class AttributeResolver:
             # needs cell temperature — resolved via env-aware resolvers in
             # products; for a 0D parcel the T gather is done by the caller
             raise KeyError("critical volume requires env coupling; use products")
+        if name.startswith("delta_"):
+            # heavy-to-light isotopic ratio vs the VSMOW reference
+            heavy = name[len("delta_"):]
+            light = "1H" if heavy.endswith("H") else "16O"
+            ratio = state.ext(f"moles_{heavy}") / state.ext(f"moles_{light}")
+            return f.trivia.isotopic_ratio_2_delta(
+                ratio, getattr(f.constants, f"VSMOW_R_{heavy}")
+            )
+        if name.startswith("conc_"):
+            # aqueous concentration = mole amount / droplet (liquid) volume
+            return state.ext("moles_" + name[len("conc_"):]) / self.get(
+                state, "volume"
+            )
         if name in ("terminal velocity", "relative fall velocity"):
             # relative fall velocity equals terminal velocity unless the
             # RelaxedVelocity dynamic maintains a momentum attribute

@@ -21,6 +21,7 @@ from . import (
     drop_growth,
     hygroscopicity,
     ice_nucleation,
+    isotopes,
     latent_heat,
     misc_families,
     particle_shape_and_density,
@@ -104,14 +105,30 @@ _FAMILIES = {
         _NULL_VARIANTS | ice_nucleation.HOMOGENEOUS_RATE_VARIANTS, "Null"
     ),
     "fragmentation_function": (_NULL_VARIANTS | {"AlwaysN": Null}, "AlwaysN"),
-    "isotope_equilibrium_fractionation_factors": (_NULL_VARIANTS, "Null"),
-    "isotope_kinetic_fractionation_factors": (_NULL_VARIANTS, "Null"),
-    "isotope_meteoric_water_line": (_NULL_VARIANTS, "Null"),
-    "isotope_ratio_evolution": (_NULL_VARIANTS, "Null"),
-    "isotope_diffusivity_ratios": (_NULL_VARIANTS, "Null"),
-    "isotope_relaxation_timescale": (_NULL_VARIANTS, "Null"),
-    "isotope_temperature_inference": (_NULL_VARIANTS, "Null"),
-    "isotope_ventilation_ratio": (_NULL_VARIANTS, "Null"),
+    "isotope_equilibrium_fractionation_factors": (
+        _NULL_VARIANTS | isotopes.EQUILIBRIUM_VARIANTS, "Null"
+    ),
+    "isotope_kinetic_fractionation_factors": (
+        _NULL_VARIANTS | isotopes.KINETIC_VARIANTS, "Null"
+    ),
+    "isotope_meteoric_water_line": (
+        _NULL_VARIANTS | isotopes.MWL_VARIANTS, "Null"
+    ),
+    "isotope_ratio_evolution": (
+        _NULL_VARIANTS | isotopes.RATIO_EVOLUTION_VARIANTS, "Null"
+    ),
+    "isotope_diffusivity_ratios": (
+        _NULL_VARIANTS | isotopes.DIFFUSIVITY_RATIO_VARIANTS, "Null"
+    ),
+    "isotope_relaxation_timescale": (
+        _NULL_VARIANTS | isotopes.RELAXATION_TIMESCALE_VARIANTS, "Null"
+    ),
+    "isotope_temperature_inference": (
+        _NULL_VARIANTS | isotopes.TEMPERATURE_INFERENCE_VARIANTS, "Null"
+    ),
+    "isotope_ventilation_ratio": (
+        _NULL_VARIANTS | isotopes.VENTILATION_RATIO_VARIANTS, "Neglect"
+    ),
     "optical_albedo": (_NULL_VARIANTS, "Null"),
     "optical_depth": (_NULL_VARIANTS, "Null"),
     "particle_shape_and_density": (

@@ -28,3 +28,22 @@ from .freezing import (
     FrozenParticleConcentration,
     FrozenFraction,
 )
+from .chemistry import Acidity, AqueousMoleFraction, GaseousMoleFraction
+from .ambient_thermodynamics import (
+    AmbientTemperature,
+    AmbientPressure,
+    AmbientRelativeHumidity,
+    AmbientDryAirDensity,
+    AmbientDryAirPotentialTemperature,
+    AmbientWaterVapourMixingRatio,
+)
+from .displacement import (
+    SurfacePrecipitation,
+    MaxCourantNumber,
+    AveragedTerminalVelocity,
+)
+from .condensation import (
+    PeakSupersaturation,
+    CondensationTimestepMin,
+    ActivableFraction,
+)

@@ -72,3 +72,48 @@ def test_collision_mixed_coalescence_breakup():
     np.testing.assert_allclose(mass1, mass0, rtol=1e-6)
     assert float(np.sum(particulator.get_counter("coalescence_rate"))) > 0
     assert float(np.sum(particulator.get_counter("breakup_rate"))) > 0
+
+
+def test_straub_2010_breakup_config():
+    """config #2 analogue (deJong & Mackay et al. 2023): hydrodynamic-style
+    collisions with Straub-2010 coalescence efficiency + fragmentation"""
+    from pysdm_tpu.dynamics.collisions.coalescence_efficiencies import Straub2010Ec
+    from pysdm_tpu.dynamics.collisions.breakup_fragmentations import Straub2010Nf
+
+    dyn = Collision(
+        collision_kernel=Geometric(),
+        coalescence_efficiency=Straub2010Ec(),
+        breakup_efficiency=ConstEb(Eb=1.0),
+        fragmentation_function=Straub2010Nf(vmin=(1e-6) ** 3, nfmax=100),
+        adaptive=False,
+        substeps=1,
+    )
+    particulator, mass0 = run_box(dyn, n_sd=2**12, steps=30, dv=0.1 * si.m**3)
+    mass1 = total_mass(particulator)
+    np.testing.assert_allclose(mass1, mass0, rtol=1e-6)
+    assert float(np.sum(particulator.get_counter("coalescence_rate"))) > 0
+    mult = particulator.attributes["multiplicity"]
+    assert np.isfinite(particulator.attributes["water mass"]).all()
+    assert (mult >= 0).all()
+
+
+def test_feingold_and_slams_fragmentation_run():
+    from pysdm_tpu.dynamics.collisions.breakup_fragmentations import (
+        Feingold1988,
+        SLAMS,
+    )
+
+    for frag in (
+        Feingold1988(scale=(30 * si.um) ** 3 * 4.19),
+        SLAMS(),
+    ):
+        dyn = Breakup(
+            collision_kernel=ConstantK(a=1e-9 * si.m**3 / si.s),
+            fragmentation_function=frag,
+            adaptive=False,
+            substeps=1,
+        )
+        particulator, mass0 = run_box(dyn, n_sd=2**9, steps=5)
+        np.testing.assert_allclose(total_mass(particulator), mass0, rtol=1e-6)
+        mult = particulator.attributes["multiplicity"]
+        assert (mult >= 0).all() and float(np.sum(mult)) > 0

@@ -1,0 +1,80 @@
+"""Product-layer coverage test: register + read every major product family
+on a 1D column (reference analogue: the product sets exercised by
+``tests/smoke_tests`` simulations)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pysdm_tpu import Builder, Formulae
+from pysdm_tpu.backends import CPU
+from pysdm_tpu.environments import Kinematic1D
+from pysdm_tpu.dynamics import AmbientThermodynamics, Condensation, Displacement
+from pysdm_tpu.impl.mesh import Mesh
+from pysdm_tpu import products as prod
+from pysdm_tpu.initialisation import spectra
+from pysdm_tpu.initialisation.sampling.spectral_sampling import ConstantMultiplicity
+from pysdm_tpu.initialisation.sampling.spatial_sampling import Pseudorandom
+from pysdm_tpu.physics import si
+
+
+def test_product_collection_on_column():
+    nz = 16
+    mesh = Mesh(grid=(nz,), size=(nz * 50.0,))
+    formulae = Formulae(seed=12)
+    env = Kinematic1D(
+        dt=2 * si.s, mesh=mesh,
+        thd_of_z=lambda z: np.full_like(z, 298.0),
+        rhod_of_z=lambda z: np.full_like(z, 1.1),
+        water_vapour_mixing_ratio_of_z=lambda z: np.full_like(z, 0.016),
+    )
+    builder = Builder(n_sd=nz * 32, backend=CPU(formulae), environment=env)
+    builder.add_dynamic(AmbientThermodynamics())
+    builder.add_dynamic(Condensation(adaptive=True))
+    builder.add_dynamic(Displacement(enable_sedimentation=True))
+    attributes = env.init_attributes(
+        spatial_discretisation=Pseudorandom(),
+        spectral_discretisation=ConstantMultiplicity(
+            spectra.Lognormal(norm_factor=100 / si.mg, m_mode=0.05 * si.um, s_geom=1.6)
+        ),
+        kappa=0.9,
+        seed=12,
+    )
+    products = (
+        prod.AmbientTemperature(),
+        prod.AmbientPressure(),
+        prod.AmbientRelativeHumidity(unit="%"),
+        prod.AmbientDryAirDensity(),
+        prod.AmbientDryAirPotentialTemperature(),
+        prod.AmbientWaterVapourMixingRatio(),
+        prod.TotalParticleConcentration(),
+        prod.ParticleConcentration(radius_range=(1 * si.um, np.inf)),
+        prod.MeanRadius(),
+        prod.EffectiveRadius(radius_range=(1 * si.um, np.inf)),
+        prod.WaterMixingRatio(radius_range=(1 * si.um, np.inf)),
+        prod.SuperDropletCountPerGridbox(),
+        prod.PeakSupersaturation(),
+        prod.CondensationTimestepMin(),
+        prod.ActivableFraction(),
+        prod.SurfacePrecipitation(),
+        prod.MaxCourantNumber(),
+        prod.AveragedTerminalVelocity(),
+        prod.Time(),
+        prod.WallTime(),
+    )
+    particulator = builder.build(attributes, products=products)
+    particulator.sim_state["env"]["courant_0"] = jnp.full(
+        nz + 1, 0.1, dtype=particulator.dtype
+    )
+    particulator.run(5)
+    for name, product in particulator.products.items():
+        value = product.get(**({"S_max": 0.5} if name == "activable fraction" else {}))
+        arr = np.asarray(value)
+        assert np.isfinite(arr).all(), f"{name}: {arr}"
+    # spot checks
+    T = particulator.products["T"].get()
+    assert (270 < T).all() and (T < 310).all()
+    rh = particulator.products["RH"].get()
+    assert (rh > 50).all() and (rh < 120).all()
+    af = particulator.products["activable fraction"].get(S_max=0.5)
+    assert (0 <= af).all() and (af <= 1).all()
+    assert particulator.products["time"].get() == 10.0
