@@ -45,7 +45,7 @@ class Builder:
 
     def add_counter(self, name, n_cell, dtype, fill=0):
         dtype = dtype or self.particulator.dtype
-        self._counters[name] = jnp.full((n_cell,), fill, dtype=dtype)
+        self._counters[name] = jnp.asarray(np.full((n_cell,), fill, dtype=np.dtype(dtype)))
 
     def add_flag(self, name, default: bool):
         """traced on/off switch for a dynamic (host-togglable without

@@ -76,10 +76,13 @@ class Collision:
             self.compute_number_of_fragments.register(builder)
         n_cell = self.particulator.mesh.n_cell
         ftype = self.particulator.dtype
+        # rate counters share the multiplicity dtype (int64, or f64 when
+        # multiplicities are stored as exact floats — see ops.collisions)
+        rate_dtype = self.particulator.mult_dtype
         builder.add_flag("collision_enable", self.enable)
-        builder.add_counter("collision_rate", n_cell, jnp.int64)
+        builder.add_counter("collision_rate", n_cell, rate_dtype)
         builder.add_counter("collision_rate_deficit", n_cell, ftype)
-        builder.add_counter("coalescence_rate", n_cell, jnp.int64)
+        builder.add_counter("coalescence_rate", n_cell, rate_dtype)
         builder.add_counter("collision_n_substep", n_cell, jnp.int32)
         if self.enable_breakup:
             builder.add_counter("breakup_rate", n_cell, ftype)
@@ -108,22 +111,28 @@ class Collision:
             n_sd = particles.n_sd
             key, k_sh, k_gam, k_proc, k_frag = jax.random.split(key, 5)
             u_sh = jax.random.uniform(k_sh, (n_sd,), dtype=ftype)
-            order, sorted_cell, cell_start, is_first = seg_ops.bucket_shuffle(
-                particles.cell_id, particles.alive, u_sh, n_cell
-            )
+            # one variadic sort carries the whole state as payload operands
+            # (TPU gathers/scatters are element-at-a-time — the sort is the
+            # only shuffle) and the state stays in sorted order afterwards
+            (
+                particles,
+                sorted_cell,
+                cell_start,
+                is_first,
+            ) = seg_ops.bucket_shuffle_state(particles, u_sh, n_cell)
             attr_names = set(kernel.required_attributes)
             if enable_breakup:
                 attr_names |= set(getattr(frag, "required_attributes", ()))
                 attr_names |= set(getattr(ec_fn, "required_attributes", ()))
                 attr_names |= set(getattr(eb_fn, "required_attributes", ()))
             attrs_a = {
-                name: resolver.get(particles, name)[order] for name in sorted(attr_names)
+                name: resolver.get(particles, name) for name in sorted(attr_names)
             }
             attrs_b = {name: seg_ops.pair_roll(v) for name, v in attrs_a.items()}
             kernel_vals = kernel.pairwise(formulae, attrs_a, attrs_b)
 
-            mult_s = particles.multiplicity[order]
-            ext_s = particles.extensive[:, order]
+            mult_s = particles.multiplicity
+            ext_s = particles.extensive
 
             dv = env.get("dv", mesh.dv)
             norm = coll_ops.normalization_factor(cell_start, dt, dv, n_cell, ftype)
@@ -140,6 +149,7 @@ class Collision:
                     prob=prob,
                     mult_s=mult_s,
                     sorted_cell=sorted_cell,
+                    cell_start=cell_start,
                     is_first=is_first,
                     dt_left=dt_left,
                     dt=dt,
@@ -152,12 +162,14 @@ class Collision:
 
             rand = jax.random.uniform(k_gam, (n_sd,), dtype=ftype)
             gamma, counters = coll_ops.compute_gamma(
-                prob, rand, mult_s, sorted_cell, is_first, n_cell, counters
+                prob, rand, mult_s, sorted_cell, is_first, n_cell, counters,
+                cell_start=cell_start,
             )
 
             if not enable_breakup:
                 mult_s, ext_s, counters = coll_ops.coalesce(
-                    mult_s, ext_s, gamma, is_first, sorted_cell, n_cell, counters
+                    mult_s, ext_s, gamma, is_first, sorted_cell, n_cell, counters,
+                    cell_start=cell_start,
                 )
             else:
                 from ...ops.breakup import collision_coalescence_breakup
@@ -180,6 +192,7 @@ class Collision:
                     fragment_mass=fragment_mass,
                     is_first=is_first,
                     sorted_cell=sorted_cell,
+                    cell_start=cell_start,
                     n_cell=n_cell,
                     counters=counters,
                     max_multiplicity=max_multiplicity,
@@ -187,8 +200,7 @@ class Collision:
                     formulae=formulae,
                 )
 
-            mult, ext = coll_ops.scatter_back(order, mult_s, ext_s)
-            particles = particles.replace(multiplicity=mult, extensive=ext)
+            particles = particles.replace(multiplicity=mult_s, extensive=ext_s)
             return particles, counters, key, dt_left
 
         def step(sim):

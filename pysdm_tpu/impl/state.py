@@ -11,6 +11,7 @@ static for XLA (SURVEY.md §7 design delta #1).
 from flax import struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @struct.dataclass
@@ -46,6 +47,21 @@ class ParticleState:
     def max_attr(self, name):
         return self.maximum[self.max_names.index(name)]
 
+    def permute(self, order):
+        """reorder all per-particle arrays by ``order``. NOTE: TPU gathers run
+        element-at-a-time (~13 ms per 2^20 f32 on v5e) — hot paths should ride
+        payload operands through ``ops.segments.bucket_shuffle_state`` instead.
+        Particle identity order is not semantically meaningful (the reference
+        instead carries a permutation ``idx``, ``impl/particle_attributes.py``)."""
+        return self.replace(
+            multiplicity=self.multiplicity[order],
+            extensive=self.extensive[:, order],
+            maximum=self.maximum[:, order],
+            cell_id=self.cell_id[order],
+            cell_origin=self.cell_origin[:, order],
+            position_in_cell=self.position_in_cell[:, order],
+        )
+
 
 def make_particle_state(
     *,
@@ -62,22 +78,25 @@ def make_particle_state(
     maximum = maximum or {}
     ext_names = tuple(extensive.keys())
     max_names = tuple(maximum.keys())
+    # assemble on host (numpy) and transfer once — each tiny device op at
+    # init would otherwise trigger its own XLA compile (slow on cold caches)
+    np_dtype = np.dtype(dtype)
     ext = (
-        jnp.stack([jnp.asarray(extensive[k], dtype=dtype) for k in ext_names])
+        np.stack([np.asarray(extensive[k], dtype=np_dtype) for k in ext_names])
         if ext_names
-        else jnp.zeros((0, n_sd), dtype=dtype)
+        else np.zeros((0, n_sd), dtype=np_dtype)
     )
     mx = (
-        jnp.stack([jnp.asarray(maximum[k], dtype=dtype) for k in max_names])
+        np.stack([np.asarray(maximum[k], dtype=np_dtype) for k in max_names])
         if max_names
-        else jnp.zeros((0, n_sd), dtype=dtype)
+        else np.zeros((0, n_sd), dtype=np_dtype)
     )
     if cell_id is None:
-        cell_id = jnp.zeros(n_sd, dtype=jnp.int32)
+        cell_id = np.zeros(n_sd, dtype=np.int32)
     if cell_origin is None:
-        cell_origin = jnp.zeros((0, n_sd), dtype=jnp.int32)
+        cell_origin = np.zeros((0, n_sd), dtype=np.int32)
     if position_in_cell is None:
-        position_in_cell = jnp.zeros((0, n_sd), dtype=dtype)
+        position_in_cell = np.zeros((0, n_sd), dtype=np_dtype)
     return ParticleState(
         multiplicity=jnp.asarray(multiplicity, dtype=mult_dtype),
         extensive=ext,

@@ -28,8 +28,13 @@ Divergences from the reference (documented, both are reference bug-guards):
 import jax
 import jax.numpy as jnp
 
-from .collisions import coalesce, _merge_pair_results
-from .segments import segment_sum, pair_roll
+from .collisions import (
+    accumulate_counter,
+    coalesce,
+    _merge_pair_results,
+    _cell_start_of,
+)
+from .segments import pair_roll
 
 _F64 = jnp.float64
 
@@ -137,6 +142,7 @@ def collision_coalescence_breakup(
     max_multiplicity,
     handle_all_breakups,
     formulae,
+    cell_start=None,
 ):
     """fused bounce/coalesce/breakup update over sorted slots; returns
     (mult_s, ext_s, counters). Pair convention as in ``ops.collisions``:
@@ -149,9 +155,12 @@ def collision_coalescence_breakup(
     do_break = active & ~bouncing & ~do_coal
 
     # --- coalescing pairs: reuse the pure-coalescence update --------------
-    gamma_c = jnp.where(do_coal, gamma, 0)
+    if cell_start is None:
+        cell_start = _cell_start_of(sorted_cell, n_cell)
+    gamma_c = jnp.where(do_coal, gamma, jnp.zeros((), gamma.dtype))
     mult_s, ext_s, counters = coalesce(
-        mult_s, ext_s, gamma_c, do_coal, sorted_cell, n_cell, counters
+        mult_s, ext_s, gamma_c, do_coal, sorted_cell, n_cell, counters,
+        cell_start=cell_start,
     )
 
     # --- breaking pairs ----------------------------------------------------
@@ -282,14 +291,10 @@ def collision_coalescence_breakup(
     )
 
     if counters is not None:
-        counters["breakup_rate"] = counters["breakup_rate"] + segment_sum(
-            rate.astype(counters["breakup_rate"].dtype), sorted_cell, n_cell
+        counters["breakup_rate"] = accumulate_counter(
+            counters["breakup_rate"], rate, cell_start, n_cell
         )
-        counters["breakup_rate_deficit"] = counters[
-            "breakup_rate_deficit"
-        ] + segment_sum(
-            deficit.astype(counters["breakup_rate_deficit"].dtype),
-            sorted_cell,
-            n_cell,
+        counters["breakup_rate_deficit"] = accumulate_counter(
+            counters["breakup_rate_deficit"], deficit, cell_start, n_cell
         )
     return mult_out, ext_out, counters

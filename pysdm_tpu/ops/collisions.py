@@ -14,11 +14,43 @@ branch-free vectorized updates over sorted particle slots:
 
 Conventions: within a pair, ``j`` is the particle with the not-smaller
 multiplicity, ``k`` the other (reference ``pair_methods.py:127-140``).
+
+TPU dtype policy: multiplicities may be stored as int64 (bit-exact vs the
+reference) or as float64 (exact for integers < 2^53 — far above the
+reference's own multiplicity cap of 2^63/2e5 ~ 4.6e13, reference
+``collision.py:30-37``): int64 arithmetic (especially ``//``) is
+software-emulated on TPU, while the f64 path only needs an
+exactly-corrected floor division (``floor_div`` below).
 """
 
 import jax.numpy as jnp
 
-from .segments import segment_sum, segment_min, pair_roll, cell_counts
+from .segments import (
+    cell_counts,
+    pair_roll,
+    sorted_segment_min,
+    sorted_segment_sum,
+)
+
+
+def floor_div(a, b):
+    """exact floor(a/b) for non-negative integers stored in either an integer
+    dtype or a float dtype (exact while values < 2^mantissa): float division
+    rounds to nearest, so the raw quotient may be off by one — two
+    multiply-compare correction steps make it exact."""
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        return a // b
+    q = jnp.floor(a / b)
+    q = jnp.where(q * b > a, q - 1.0, q)
+    q = jnp.where((q + 1.0) * b <= a, q + 1.0, q)
+    return q
+
+
+def half_floor(m):
+    """floor(m/2) in m's dtype (exact: division by two is lossless in floats)"""
+    if jnp.issubdtype(m.dtype, jnp.integer):
+        return m // 2
+    return jnp.floor(m * 0.5)
 
 
 def normalization_factor(cell_start, dt, dv, n_cell, dtype):
@@ -39,8 +71,8 @@ def collision_probability(kernel_values, mult_s, sorted_cell, norm_factor, is_fi
 
 
 def scale_prob_adaptive(
-    *, prob, mult_s, sorted_cell, is_first, dt_left, dt, dt_range, n_cell,
-    stats_n_substep=None, stats_dt_min=None,
+    *, prob, mult_s, sorted_cell, cell_start, is_first, dt_left, dt, dt_range,
+    n_cell, stats_n_substep=None, stats_dt_min=None,
 ):
     """per-cell adaptive substep scaling
     (reference ``collisions_methods.py:330-378``): pick the largest per-cell
@@ -50,13 +82,13 @@ def scale_prob_adaptive(
     ftype = prob.dtype
     mj = jnp.maximum(mult_s, pair_roll(mult_s))
     mk = jnp.minimum(mult_s, pair_roll(mult_s))
-    prop = (mj // jnp.maximum(mk, 1)).astype(ftype)
+    prop = floor_div(mj, jnp.maximum(mk, jnp.ones((), mk.dtype))).astype(ftype)
     dt_optimal = dt * prop / jnp.where(prob > 0, prob, 1.0)
     dt_optimal = jnp.maximum(dt_optimal, dt_range[0])
     dt_optimal = jnp.where(is_first & (prob > 0), dt_optimal, jnp.inf)
 
     dt_todo = jnp.minimum(dt_left, dt_range[1])
-    per_cell_opt = segment_min(dt_optimal, sorted_cell, n_cell)
+    per_cell_opt = sorted_segment_min(dt_optimal, sorted_cell, cell_start, n_cell)
     dt_todo = jnp.minimum(dt_todo, per_cell_opt)
 
     dt_todo_ext = jnp.concatenate([dt_todo, jnp.zeros((1,), ftype)])
@@ -71,7 +103,28 @@ def scale_prob_adaptive(
     return prob, new_dt_left, stats_n_substep, stats_dt_min
 
 
-def compute_gamma(prob, rand, mult_s, sorted_cell, is_first, n_cell, counters=None):
+def _cell_start_of(sorted_cell, n_cell):
+    return jnp.searchsorted(
+        sorted_cell, jnp.arange(n_cell + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+
+def accumulate_counter(counter, values, cell_start, n_cell):
+    """add per-cell sums of ``values`` to a rate counter. The sum runs in
+    float32 regardless of the counter dtype: an int64 cumsum costs ~1.1 ms per
+    2^20 slots on TPU v5e (emulated) vs ~0.2 ms in f32, and rate counters are
+    diagnostics (exact below 2^24 events per readout; ~1e-7 relative beyond —
+    the reference accumulates exactly via int64 atomics,
+    ``collisions_methods.py:523-560``)."""
+    s = sorted_segment_sum(values.astype(jnp.float32), cell_start, n_cell)
+    if jnp.issubdtype(counter.dtype, jnp.integer):
+        return counter + jnp.round(s).astype(counter.dtype)
+    return counter + s.astype(counter.dtype)
+
+
+def compute_gamma(
+    prob, rand, mult_s, sorted_cell, is_first, n_cell, counters=None, cell_start=None
+):
     """gamma = ceil(prob - rand), capped at floor(xi_j/xi_k)
     (reference ``collisions_methods.py:522-560``); returns integer gamma per
     slot and updates collision_rate / collision_rate_deficit counters."""
@@ -80,25 +133,32 @@ def compute_gamma(prob, rand, mult_s, sorted_cell, is_first, n_cell, counters=No
     gamma_f = jnp.where(is_first, gamma_f, 0.0)
     mj = jnp.maximum(mult_s, pair_roll(mult_s))
     mk = jnp.minimum(mult_s, pair_roll(mult_s))
-    prop = mj // jnp.maximum(mk, 1)
+    prop = floor_div(mj, jnp.maximum(mk, jnp.ones((), mk.dtype)))
     gamma = jnp.minimum(gamma_f, prop.astype(gamma_f.dtype)).astype(mult_dtype)
-    gamma = jnp.where(is_first, gamma, 0)
+    gamma = jnp.where(is_first, gamma, jnp.zeros((), mult_dtype))
     if counters is not None:
-        rate = gamma * mk
-        deficit = (
-            jnp.minimum(gamma_f, jnp.finfo(gamma_f.dtype).max).astype(gamma_f.dtype)
-            - gamma.astype(gamma_f.dtype)
-        ) * mk.astype(gamma_f.dtype)
-        counters["collision_rate"] = counters["collision_rate"] + segment_sum(
-            jnp.where(is_first, rate, 0), sorted_cell, n_cell
+        if cell_start is None:
+            cell_start = _cell_start_of(sorted_cell, n_cell)
+        rate = gamma.astype(jnp.float32) * mk.astype(jnp.float32)
+        deficit = (gamma_f - gamma.astype(gamma_f.dtype)) * mk.astype(gamma_f.dtype)
+        counters["collision_rate"] = accumulate_counter(
+            counters["collision_rate"],
+            jnp.where(is_first, rate, 0.0),
+            cell_start,
+            n_cell,
         )
-        counters["collision_rate_deficit"] = counters[
-            "collision_rate_deficit"
-        ] + segment_sum(jnp.where(is_first, deficit, 0.0), sorted_cell, n_cell)
+        counters["collision_rate_deficit"] = accumulate_counter(
+            counters["collision_rate_deficit"],
+            jnp.where(is_first, deficit, 0.0),
+            cell_start,
+            n_cell,
+        )
     return gamma, counters
 
 
-def coalesce(mult_s, ext_s, gamma, is_first, sorted_cell, n_cell, counters=None):
+def coalesce(
+    mult_s, ext_s, gamma, is_first, sorted_cell, n_cell, counters=None, cell_start=None
+):
     """Shima 2009 coalescence update (reference ``collisions_methods.py:45-59``):
     xi_j -= gamma * xi_k and extensive_k += gamma * extensive_j; when xi_j
     hits 0 the j-droplet is recycled by splitting k's multiplicity in half.
@@ -113,22 +173,27 @@ def coalesce(mult_s, ext_s, gamma, is_first, sorted_cell, n_cell, counters=None)
     ej = jnp.where(j_is_a[None, :], a_e, b_e)
     ek = jnp.where(j_is_a[None, :], b_e, a_e)
 
-    g = jnp.where(is_first, gamma, 0)
+    g = jnp.where(is_first, gamma, jnp.zeros((), gamma.dtype))
     gf = g.astype(ftype)
     new_n = mj - g * mk
     split = is_first & (new_n == 0) & (g > 0)
 
-    mj_new = jnp.where(split, mk // 2, new_n)
-    mk_new = jnp.where(split, mk - mk // 2, mk)
+    mk_half = half_floor(mk)
+    mj_new = jnp.where(split, mk_half, new_n)
+    mk_new = jnp.where(split, mk - mk_half, mk)
     # attributes: normal case k absorbs g copies of j; split case both equal
     ek_merged = ek + gf[None, :] * ej
     ej_new = jnp.where(split[None, :], ek_merged, ej)
     ek_new = ek_merged  # in non-split case this is the coalesce rule already
 
     if counters is not None:
-        coal = jnp.where(is_first, g * mk, 0)
-        counters["coalescence_rate"] = counters["coalescence_rate"] + segment_sum(
-            coal, sorted_cell, n_cell
+        if cell_start is None:
+            cell_start = _cell_start_of(sorted_cell, n_cell)
+        coal = jnp.where(
+            is_first, g.astype(jnp.float32) * mk.astype(jnp.float32), 0.0
+        )
+        counters["coalescence_rate"] = accumulate_counter(
+            counters["coalescence_rate"], coal, cell_start, n_cell
         )
 
     # map (j, k) results back to slots (p, p+1)
@@ -151,14 +216,3 @@ def _merge_pair_results(orig, a_new, b_new, is_first, axis=0):
     mask_f = is_first[None, :]
     mask_p = is_first_prev[None, :]
     return jnp.where(mask_f, a_new, jnp.where(mask_p, b_from_prev, orig))
-
-
-def scatter_back(order, *sorted_arrays):
-    """inverse-permutation scatter of sorted-slot arrays to particle order"""
-    out = []
-    for arr in sorted_arrays:
-        if arr.ndim == 1:
-            out.append(jnp.zeros_like(arr).at[order].set(arr))
-        else:
-            out.append(jnp.zeros_like(arr).at[:, order].set(arr))
-    return tuple(out)
