@@ -90,11 +90,17 @@ class Condensation:
         update_thd = self.update_thd
 
         from ..environments.impl.moist import recalc_thermo
+        from ..ops.segments import sort_state_by_cell
 
         def step(sim):
             particles = sim["particles"]
             env = dict(sim["env"])
             counters = dict(sim["counters"])
+            # the solver requires cell-sorted drops (cumsum-based per-cell
+            # coupling — no TPU scatters); the state stays sorted afterwards
+            particles, _sorted_cell, cell_start = sort_state_by_cell(
+                particles, n_cell
+            )
             signed_mass = particles.ext("signed water mass")
             attrs = {
                 "water_mass": signed_mass,
@@ -107,6 +113,7 @@ class Condensation:
                 attrs=attrs,
                 multiplicity=particles.multiplicity,
                 cell_of_drop=particles.cell_id,
+                cell_start=cell_start,
                 n_substeps=counters["condensation_n_substeps"],
                 thd=env["thd"], qv=env["qv"], rhod=env["rhod"],
                 pthd=env["pred_thd"], pqv=env["pred_qv"],

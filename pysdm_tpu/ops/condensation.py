@@ -10,16 +10,22 @@ TPU-first re-design (SURVEY.md §7 delta #5):
 - the per-droplet root find is a *bracketed bisection over the whole particle
   axis at once* (the reference GPU backend's choice, ``bisection.py``, rather
   than the CPU's branchy TOMS748) with a masked early-exit while_loop;
-- per-cell reductions (liquid mass ml) are deterministic ``segment_sum``s
-  instead of serial loops / atomics;
+- particles must arrive sorted by cell id (the Condensation dynamic sorts):
+  per-cell reductions (liquid mass ml, success flags) are deterministic
+  cumsum differences over the cell segments — TPU scatter-adds are serial;
+- cell->drop broadcasting is ONE contiguous row gather of the packed cell
+  state per substep (TPU gathers cost per element fetched; fetching one
+  contiguous row beats eight strided field gathers), and the thermodynamic
+  fields (T, p, RH, ...) are recomputed elementwise at drop granularity —
+  redundant VPU flops are cheaper than memory-bound gathers;
 - cells with different substep counts advance in lockstep under one masked
   ``while_loop`` — spent cells are frozen, shapes stay static.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
+
+from .segments import sorted_segment_sum
 
 
 def make_condensation_solver(
@@ -59,21 +65,13 @@ def make_condensation_solver(
         return jnp.where(x_new > x_max, x_old - x_new, res)
 
     def calculate_masses_new(
-        *, attrs, cell_of_drop, dt_sub_cell, cell_active,
-        T_c, p_c, RH_c, lv_c, pvs_c, DTp_c, KTp_c, Sc_c,
+        *, attrs, dt_sub, active_drop, T, p, RH, lv, pvs, DTp, KTp, Sc,
     ):
-        """per-droplet implicit solve; returns (mass_new, success_per_drop)"""
+        """per-droplet implicit solve over per-drop thermo fields;
+        returns (mass_new, success_per_drop)"""
         water_mass = attrs["water_mass"]
         ftype = water_mass.dtype
-        T = T_c[cell_of_drop]
-        RH = RH_c[cell_of_drop]
-        lv = lv_c[cell_of_drop]
-        pvs = pvs_c[cell_of_drop]
-        DTp = DTp_c[cell_of_drop]
-        KTp = KTp_c[cell_of_drop]
-        Sc = Sc_c[cell_of_drop]
-        dt_sub = dt_sub_cell[cell_of_drop]
-        active = (water_mass > 0) & cell_active[cell_of_drop]
+        active = (water_mass > 0) & active_drop
 
         safe_mass = jnp.where(active, water_mass, 1e-18)
         v_drop = f.particle_shape_and_density.mass_to_volume(safe_mass)
@@ -87,7 +85,7 @@ def make_condensation_solver(
         sgm = f.surface_tension.sigma(T, v_drop, vdry, attrs["f_org"])
         RH_eq = f.hygroscopicity.RH_eq(r_old, T, attrs["kappa"], rd3, sgm)
 
-        lambdaK = f.diffusion_kinetics.lambdaK(T, p_c[cell_of_drop])
+        lambdaK = f.diffusion_kinetics.lambdaK(T, p)
         lambdaD = f.diffusion_kinetics.lambdaD(DTp, T)
         Dr = f.diffusion_kinetics.D(DTp, r_old, lambdaD)
         Kr = f.diffusion_kinetics.K(KTp, r_old, lambdaK)
@@ -175,13 +173,15 @@ def make_condensation_solver(
         return T, p, RH, lv, pvs, DTp, KTp, Sc
 
     def substep(
-        *, attrs, mult_f, cell_of_drop, cell_active, dt_sub_cell,
+        *, attrs, mult_f, cell_of_drop, cell_start, cell_active, dt_sub_cell,
         thd, qv, rhod, ml_old,
         dthd_dt_pred, dqv_dt_pred, drhod_dt, m_d,
         air_density, air_viscosity, fake,
     ):
         """one trapezoidal substep (reference ``step_impl`` 256-356) on the
-        cells where cell_active"""
+        cells where cell_active; ``cell_of_drop`` must be sorted ascending
+        (dead drops trailing) with segment starts ``cell_start``"""
+        ftype = thd.dtype
         act = cell_active
         dt_sub = dt_sub_cell
         thd = jnp.where(act, thd + dt_sub * dthd_dt_pred / 2, thd)
@@ -191,16 +191,27 @@ def make_condensation_solver(
         T, p, RH, lv, pvs, DTp, KTp, Sc = compute_cell_thermo(
             thd, qv, rhod, air_density, air_viscosity
         )
-        mass_new, success_drop = calculate_masses_new(
-            attrs=attrs, cell_of_drop=cell_of_drop, dt_sub_cell=dt_sub_cell,
-            cell_active=cell_active,
-            T_c=T, p_c=p, RH_c=RH, lv_c=lv, pvs_c=pvs, DTp_c=DTp, KTp_c=KTp,
-            Sc_c=Sc,
+        # one contiguous row gather broadcasts the updated cell state to the
+        # drops; thermo is then recomputed per drop (VPU flops < gather cost)
+        pack = jnp.stack(
+            [thd, qv, rhod, dt_sub_cell, act.astype(ftype),
+             air_density, air_viscosity],
+            axis=1,
         )
-        ml_new = jax.ops.segment_sum(
-            jnp.where(mass_new > 0, mult_f * mass_new, 0.0),
-            cell_of_drop,
-            num_segments=n_cell,
+        pack_d = pack[jnp.clip(cell_of_drop, 0, n_cell - 1)]
+        thd_d, qv_d, rhod_d, dt_sub_d, act_d, rho_d, mu_d = (
+            pack_d[:, i] for i in range(7)
+        )
+        T_d, p_d, RH_d, lv_d, pvs_d, DTp_d, KTp_d, Sc_d = compute_cell_thermo(
+            thd_d, qv_d, rhod_d, rho_d, mu_d
+        )
+        mass_new, success_drop = calculate_masses_new(
+            attrs=attrs, dt_sub=dt_sub_d, active_drop=act_d > 0,
+            T=T_d, p=p_d, RH=RH_d, lv=lv_d, pvs=pvs_d, DTp=DTp_d, KTp=KTp_d,
+            Sc=Sc_d,
+        )
+        ml_new = sorted_segment_sum(
+            jnp.where(mass_new > 0, mult_f * mass_new, 0.0), cell_start, n_cell
         )
         dml_dt = (ml_new - ml_old) / jnp.where(dt_sub > 0, dt_sub, 1.0)
         dqv_dt_corr = -dml_dt / m_d
@@ -212,30 +223,31 @@ def make_condensation_solver(
         qv = jnp.where(act, qv + dt_sub * (dqv_dt_pred / 2 + dqv_dt_corr), qv)
         rhod = jnp.where(act, rhod + dt_sub * drhod_dt / 2, rhod)
 
-        success_cell = jax.ops.segment_min(
-            success_drop.astype(jnp.int32), cell_of_drop, num_segments=n_cell
-        ).astype(bool) | ~act
+        fails = sorted_segment_sum(
+            (~success_drop).astype(jnp.float32), cell_start, n_cell
+        )
+        success_cell = (fails == 0) | ~act
 
         if fake:
             attrs_out = attrs
         else:
             attrs_out = {**attrs, "water_mass": jnp.where(
-                act[cell_of_drop], mass_new, attrs["water_mass"]
+                act_d > 0, mass_new, attrs["water_mass"]
             )}
         ml_out = jnp.where(act, ml_new, ml_old)
         return attrs_out, thd, qv, rhod, ml_out, RH, success_cell
 
     def run_substeps(
-        *, attrs, mult_f, cell_of_drop, n_substeps,
+        *, attrs, mult_f, cell_of_drop, cell_start, n_substeps,
         thd, qv, rhod, dthd_dt_pred, dqv_dt_pred, drhod_dt, m_d,
         air_density, air_viscosity,
     ):
         """advance every cell through its own n_substeps (lockstep, masked)"""
         dt_sub_cell = dt / n_substeps.astype(thd.dtype)
-        ml0 = jax.ops.segment_sum(
+        ml0 = sorted_segment_sum(
             jnp.where(attrs["water_mass"] > 0, mult_f * attrs["water_mass"], 0.0),
-            cell_of_drop,
-            num_segments=n_cell,
+            cell_start,
+            n_cell,
         )
         ftype = thd.dtype
         init = (
@@ -254,6 +266,7 @@ def make_condensation_solver(
             attrs_s = {**attrs, "water_mass": water_mass}
             attrs_s, thd, qv, rhod, ml_old, RH, success_cell = substep(
                 attrs=attrs_s, mult_f=mult_f, cell_of_drop=cell_of_drop,
+                cell_start=cell_start,
                 cell_active=cell_active, dt_sub_cell=dt_sub_cell,
                 thd=thd, qv=qv, rhod=rhod, ml_old=ml_old,
                 dthd_dt_pred=dthd_dt_pred, dqv_dt_pred=dqv_dt_pred,
@@ -272,20 +285,21 @@ def make_condensation_solver(
         return water_mass, thd, qv, rhod, RH_max, success
 
     def step_fake(
-        *, attrs, mult_f, cell_of_drop, n_substeps,
+        *, attrs, mult_f, cell_of_drop, cell_start, n_substeps,
         thd, qv, rhod, dthd_dt_pred, dqv_dt_pred, drhod_dt, m_d,
         air_density, air_viscosity, cell_mask,
     ):
         """ONE substep of length dt/n_substeps without committing attributes
         (reference ``make_step_fake``); returns (thd_new, success)"""
         dt_sub_cell = dt / n_substeps.astype(thd.dtype)
-        ml0 = jax.ops.segment_sum(
+        ml0 = sorted_segment_sum(
             jnp.where(attrs["water_mass"] > 0, mult_f * attrs["water_mass"], 0.0),
-            cell_of_drop,
-            num_segments=n_cell,
+            cell_start,
+            n_cell,
         )
         _, thd_new, _, _, _, _, success = substep(
             attrs=attrs, mult_f=mult_f, cell_of_drop=cell_of_drop,
+            cell_start=cell_start,
             cell_active=cell_mask, dt_sub_cell=dt_sub_cell,
             thd=thd, qv=qv, rhod=rhod, ml_old=ml0,
             dthd_dt_pred=dthd_dt_pred, dqv_dt_pred=dqv_dt_pred,
@@ -348,10 +362,11 @@ def make_condensation_solver(
         return jnp.minimum(n, n_substeps_max)
 
     def solve(
-        *, attrs, multiplicity, cell_of_drop, n_substeps,
+        *, attrs, multiplicity, cell_of_drop, cell_start, n_substeps,
         thd, qv, rhod, pthd, pqv, prhod, m_d, air_density, air_viscosity,
     ):
-        """full condensation step (reference ``solve``, 639-698): returns
+        """full condensation step (reference ``solve``, 639-698) over drops
+        sorted by cell; returns
         (water_mass, pthd, pqv, n_substeps, RH_max, success)"""
         ftype = thd.dtype
         mult_f = multiplicity.astype(ftype)
@@ -360,6 +375,7 @@ def make_condensation_solver(
         drhod_dt = (prhod - rhod) / dt
         fake_kwargs = dict(
             attrs=attrs, mult_f=mult_f, cell_of_drop=cell_of_drop,
+            cell_start=cell_start,
             qv=qv, rhod=rhod,
             dthd_dt_pred=dthd_dt_pred, dqv_dt_pred=dqv_dt_pred,
             drhod_dt=drhod_dt, m_d=m_d,
@@ -371,6 +387,7 @@ def make_condensation_solver(
             )
         water_mass, thd_new, qv_new, _, RH_max, success = run_substeps(
             attrs=attrs, mult_f=mult_f, cell_of_drop=cell_of_drop,
+            cell_start=cell_start,
             n_substeps=n_substeps,
             thd=thd, qv=qv, rhod=rhod,
             dthd_dt_pred=dthd_dt_pred, dqv_dt_pred=dqv_dt_pred,

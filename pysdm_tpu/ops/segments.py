@@ -88,6 +88,37 @@ def bucket_shuffle_state(particles, u01, n_cell):
     sorted_rows, sorted_cell, cell_start, is_first = bucket_shuffle_payload(
         particles.cell_id, particles.alive, u01, n_cell, rows
     )
+    sorted_particles = _rebuild_state(particles, sorted_rows)
+    return sorted_particles, sorted_cell, cell_start, is_first
+
+
+def sort_state_by_cell(particles, n_cell):
+    """stable sort of the whole ParticleState by cell id (dead particles to a
+    trailing bucket), riding all per-particle arrays as payload operands of
+    one ``lax.sort``. Gives cell-segment structure for cumsum-based per-cell
+    reductions (condensation env coupling, products) without any scatter.
+    Returns (sorted_particles, sorted_cell, cell_start)."""
+    rows = (
+        [particles.multiplicity]
+        + list(particles.extensive)
+        + list(particles.maximum)
+        + [particles.cell_id]
+        + list(particles.cell_origin)
+        + list(particles.position_in_cell)
+    )
+    key_cell = jnp.where(particles.alive, particles.cell_id, n_cell).astype(
+        jnp.int32
+    )
+    out = jax.lax.sort((key_cell,) + tuple(rows), num_keys=1, is_stable=True)
+    sorted_cell = out[0]
+    cell_start = jnp.searchsorted(
+        sorted_cell, jnp.arange(n_cell + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    sorted_particles = _rebuild_state(particles, out[1:])
+    return sorted_particles, sorted_cell, cell_start
+
+
+def _rebuild_state(particles, sorted_rows):
     n_ext = particles.extensive.shape[0]
     n_max = particles.maximum.shape[0]
     n_dim = particles.cell_origin.shape[0]
@@ -107,7 +138,7 @@ def bucket_shuffle_state(particles, u01, n_cell):
         if n_dim
         else particles.position_in_cell
     )
-    sorted_particles = particles.replace(
+    return particles.replace(
         multiplicity=mult,
         extensive=ext,
         maximum=mx,
@@ -115,7 +146,6 @@ def bucket_shuffle_state(particles, u01, n_cell):
         cell_origin=corig,
         position_in_cell=pic,
     )
-    return sorted_particles, sorted_cell, cell_start, is_first
 
 
 def sorted_segment_sum(values, cell_start, n_cell):
