@@ -65,6 +65,11 @@ class Condensation:
         )
         builder.add_counter("condensation_success", n_cell, jnp.bool_, fill=True)
         builder.add_counter("condensation_RH_max", n_cell, None, fill=0.0)
+        # activation-event rate counters (reference counters n_activating /
+        # n_deactivating / n_ripening, condensation_methods.py:19)
+        builder.add_counter("condensation_activating", n_cell, None, fill=0.0)
+        builder.add_counter("condensation_deactivating", n_cell, None, fill=0.0)
+        builder.add_counter("condensation_ripening", n_cell, None, fill=0.0)
 
     def check_success(self):
         if not np.asarray(
@@ -108,8 +113,9 @@ class Condensation:
                 "kappa": resolver.get(particles, "kappa"),
                 "f_org": resolver.get(particles, "dry volume organic fraction"),
                 "reynolds_number": resolver.get(particles, "Reynolds number"),
+                "v_cr": resolver.get(particles, "critical volume", env=env),
             }
-            water_mass, pthd, pqv, n_substeps, RH_max, success = solver(
+            water_mass, pthd, pqv, n_substeps, RH_max, success, events = solver(
                 attrs=attrs,
                 multiplicity=particles.multiplicity,
                 cell_of_drop=particles.cell_id,
@@ -139,6 +145,12 @@ class Condensation:
             counters["condensation_RH_max"] = jnp.maximum(
                 counters["condensation_RH_max"], RH_max
             )
+            for key, ev in zip(
+                ("condensation_activating", "condensation_deactivating",
+                 "condensation_ripening"),
+                events,
+            ):
+                counters[key] = counters[key] + ev
             return {**sim, "particles": particles, "env": env,
                     "counters": counters}
 

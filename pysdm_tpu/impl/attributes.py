@@ -49,7 +49,7 @@ class AttributeResolver:
     def __init__(self, formulae):
         self.formulae = formulae
 
-    def get(self, state, name):
+    def get(self, state, name, env=None):
         f = self.formulae
         if name in ("multiplicity", "n"):
             return state.multiplicity
@@ -91,10 +91,49 @@ class AttributeResolver:
             # full Re (terminal velocity x air density/viscosity) matters only
             # with non-Neglect ventilation; zeros otherwise (vent coeff -> 1)
             return jnp.zeros_like(state.ext("signed water mass"))
-        if name == "critical volume":
-            # needs cell temperature — resolved via env-aware resolvers in
-            # products; for a 0D parcel the T gather is done by the caller
-            raise KeyError("critical volume requires env coupling; use products")
+        if name in (
+            "critical volume",
+            "critical volume neglecting temperature variations",
+        ):
+            # kappa-Koehler critical wet volume at the ambient cell temperature
+            # (reference ``attributes/physics/critical_volume.py`` +
+            # ``physics_methods.py`` _critical_volume_body)
+            if env is None:
+                raise KeyError("critical volume requires the env (cell T)")
+            T = env["T"][state.cell_id]
+            v_dry = state.ext("dry volume")
+            sgm = f.surface_tension.sigma(
+                T,
+                self.get(state, "volume"),
+                v_dry,
+                self.get(state, "dry volume organic fraction"),
+            )
+            r_cr = f.hygroscopicity.r_cr(
+                self.get(state, "kappa"), v_dry / f.constants.PI_4_3, T, sgm
+            )
+            return f.trivia.volume(r_cr)
+        if name in (
+            "wet to critical volume ratio",
+            "wet to critical volume ratio neglecting temperature variations",
+        ):
+            return self.get(state, "volume") / self.get(
+                state, "critical volume", env
+            )
+        if name == "critical saturation":
+            # supersaturation at the critical radius (reference
+            # ``attributes/physics/critical_supersaturation.py``)
+            if env is None:
+                raise KeyError("critical saturation requires the env (cell T)")
+            T = env["T"][state.cell_id]
+            v_dry = state.ext("dry volume")
+            rd3 = v_dry / f.constants.PI_4_3
+            sgm = f.surface_tension.sigma(
+                T, self.get(state, "critical volume", env), v_dry,
+                self.get(state, "dry volume organic fraction"),
+            )
+            kappa = self.get(state, "kappa")
+            r_cr = f.hygroscopicity.r_cr(kappa, rd3, T, sgm)
+            return f.hygroscopicity.RH_eq(r_cr, T, kappa, rd3, sgm)
         if name.startswith("delta_"):
             # heavy-to-light isotopic ratio vs the VSMOW reference
             heavy = name[len("delta_"):]

@@ -228,14 +228,37 @@ def make_condensation_solver(
         )
         success_cell = (fails == 0) | ~act
 
+        zeros_cell = jnp.zeros(n_cell, ftype)
         if fake:
             attrs_out = attrs
+            n_act = n_deact = n_ripen = zeros_cell
         else:
             attrs_out = {**attrs, "water_mass": jnp.where(
                 act_d > 0, mass_new, attrs["water_mass"]
             )}
+            # activation-event counting (reference ``calculate_ml_new``,
+            # condensation_methods.py:149-161): multiplicity-weighted counts
+            # of drops crossing the critical mass during this substep
+            mass_old = attrs["water_mass"]
+            mass_cr = f.particle_shape_and_density.volume_to_mass(attrs["v_cr"])
+            committed = act_d > 0
+            weight = jnp.where(committed, mult_f, 0.0)
+            n_act = sorted_segment_sum(
+                jnp.where((mass_new > mass_cr) & (mass_cr > mass_old), weight, 0.0),
+                cell_start, n_cell,
+            )
+            n_deact = sorted_segment_sum(
+                jnp.where((mass_new < mass_cr) & (mass_cr < mass_old), weight, 0.0),
+                cell_start, n_cell,
+            )
+            n_act_growing = sorted_segment_sum(
+                jnp.where((mass_new > mass_cr) & (mass_new > mass_old), weight, 0.0),
+                cell_start, n_cell,
+            )
+            n_ripen = jnp.where(n_deact > 0, n_act_growing, zeros_cell)
         ml_out = jnp.where(act, ml_new, ml_old)
-        return attrs_out, thd, qv, rhod, ml_out, RH, success_cell
+        return (attrs_out, thd, qv, rhod, ml_out, RH, success_cell,
+                (n_act, n_deact, n_ripen))
 
     def run_substeps(
         *, attrs, mult_f, cell_of_drop, cell_start, n_substeps,
@@ -250,10 +273,12 @@ def make_condensation_solver(
             n_cell,
         )
         ftype = thd.dtype
+        zeros_cell = jnp.zeros(n_cell, ftype)
         init = (
             0, attrs["water_mass"], thd, qv, rhod, ml0,
             jnp.zeros(n_cell, ftype),  # RH_max
             jnp.ones(n_cell, dtype=bool),  # success
+            (zeros_cell, zeros_cell, zeros_cell),  # event counts
         )
 
         def cond(carry):
@@ -261,10 +286,10 @@ def make_condensation_solver(
             return s < jnp.max(n_substeps)
 
         def body(carry):
-            s, water_mass, thd, qv, rhod, ml_old, RH_max, success = carry
+            s, water_mass, thd, qv, rhod, ml_old, RH_max, success, events = carry
             cell_active = s < n_substeps
             attrs_s = {**attrs, "water_mass": water_mass}
-            attrs_s, thd, qv, rhod, ml_old, RH, success_cell = substep(
+            attrs_s, thd, qv, rhod, ml_old, RH, success_cell, ev = substep(
                 attrs=attrs_s, mult_f=mult_f, cell_of_drop=cell_of_drop,
                 cell_start=cell_start,
                 cell_active=cell_active, dt_sub_cell=dt_sub_cell,
@@ -276,13 +301,17 @@ def make_condensation_solver(
             )
             RH_max = jnp.where(cell_active, jnp.maximum(RH_max, RH), RH_max)
             success = success & success_cell
+            events = tuple(
+                jnp.where(cell_active, acc + e, acc)
+                for acc, e in zip(events, ev)
+            )
             return (s + 1, attrs_s["water_mass"], thd, qv, rhod, ml_old,
-                    RH_max, success)
+                    RH_max, success, events)
 
-        (_, water_mass, thd, qv, rhod, _, RH_max, success) = jax.lax.while_loop(
-            cond, body, init
+        (_, water_mass, thd, qv, rhod, _, RH_max, success, events) = (
+            jax.lax.while_loop(cond, body, init)
         )
-        return water_mass, thd, qv, rhod, RH_max, success
+        return water_mass, thd, qv, rhod, RH_max, success, events
 
     def step_fake(
         *, attrs, mult_f, cell_of_drop, cell_start, n_substeps,
@@ -297,7 +326,7 @@ def make_condensation_solver(
             cell_start,
             n_cell,
         )
-        _, thd_new, _, _, _, _, success = substep(
+        _, thd_new, _, _, _, _, success, _ = substep(
             attrs=attrs, mult_f=mult_f, cell_of_drop=cell_of_drop,
             cell_start=cell_start,
             cell_active=cell_mask, dt_sub_cell=dt_sub_cell,
@@ -385,7 +414,7 @@ def make_condensation_solver(
             n_substeps = adapt_substeps(
                 n_substeps_prev=n_substeps, thd=thd, fake_kwargs=fake_kwargs
             )
-        water_mass, thd_new, qv_new, _, RH_max, success = run_substeps(
+        water_mass, thd_new, qv_new, _, RH_max, success, events = run_substeps(
             attrs=attrs, mult_f=mult_f, cell_of_drop=cell_of_drop,
             cell_start=cell_start,
             n_substeps=n_substeps,
@@ -394,6 +423,6 @@ def make_condensation_solver(
             drhod_dt=drhod_dt, m_d=m_d,
             air_density=air_density, air_viscosity=air_viscosity,
         )
-        return water_mass, thd_new, qv_new, n_substeps, RH_max, success
+        return water_mass, thd_new, qv_new, n_substeps, RH_max, success, events
 
     return solve

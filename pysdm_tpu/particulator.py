@@ -80,7 +80,9 @@ class Particulator:
         return self.sim_state["particles"]
 
     def get_attribute(self, name):
-        return self._resolver.get(self.sim_state["particles"], name)
+        return self._resolver.get(
+            self.sim_state["particles"], name, env=self.sim_state["env"]
+        )
 
     def get_counter(self, name):
         return np.asarray(self.sim_state["counters"][name])
@@ -112,10 +114,11 @@ class Particulator:
         skip_division_by_m0=False,
     ):
         particles = self.sim_state["particles"]
-        attr = self._resolver.get(particles, attr_name)
-        filt = self._resolver.get(particles, filter_attr)
+        env = self.sim_state["env"]
+        attr = self._resolver.get(particles, attr_name, env=env)
+        filt = self._resolver.get(particles, filter_attr, env=env)
         weight = (
-            self._resolver.get(particles, weighting_attribute)
+            self._resolver.get(particles, weighting_attribute, env=env)
             if weighting_attribute
             else None
         )
@@ -145,12 +148,15 @@ class Particulator:
         weighting_rank=0,
     ):
         particles = self.sim_state["particles"]
-        attr = self._resolver.get(particles, attr_name)
+        env = self.sim_state["env"]
+        attr = self._resolver.get(particles, attr_name, env=env)
         x_attr = (
-            self._resolver.get(particles, filter_attr) if filter_attr else attr
+            self._resolver.get(particles, filter_attr, env=env)
+            if filter_attr
+            else attr
         )
         weight = (
-            self._resolver.get(particles, weighting_attribute)
+            self._resolver.get(particles, weighting_attribute, env=env)
             if weighting_attribute
             else None
         )

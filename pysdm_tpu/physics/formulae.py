@@ -27,6 +27,7 @@ from . import (
     particle_shape_and_density,
     saturation_vapour_pressure,
     state_variable_triplet,
+    surface_tension,
 )
 from .trivia import Trivia
 
@@ -77,7 +78,8 @@ _FAMILIES = {
     "hygroscopicity": (hygroscopicity.VARIANTS, "KappaKoehlerLeadingTerms"),
     "drop_growth": (drop_growth.VARIANTS, "Mason1971"),
     "surface_tension": (
-        {"Constant": misc_families.SurfaceTensionConstant},
+        {"Constant": misc_families.SurfaceTensionConstant}
+        | surface_tension.VARIANTS,
         "Constant",
     ),
     "diffusion_kinetics": (diffusion_kinetics.VARIANTS, "FuchsSutugin"),
@@ -129,8 +131,12 @@ _FAMILIES = {
     "isotope_ventilation_ratio": (
         _NULL_VARIANTS | isotopes.VENTILATION_RATIO_VARIANTS, "Neglect"
     ),
-    "optical_albedo": (_NULL_VARIANTS, "Null"),
-    "optical_depth": (_NULL_VARIANTS, "Null"),
+    "optical_albedo": (
+        _NULL_VARIANTS | misc_families.OPTICAL_ALBEDO_VARIANTS, "Null"
+    ),
+    "optical_depth": (
+        _NULL_VARIANTS | misc_families.OPTICAL_DEPTH_VARIANTS, "Null"
+    ),
     "particle_shape_and_density": (
         particle_shape_and_density.VARIANTS,
         "LiquidSpheres",
@@ -144,7 +150,9 @@ _FAMILIES = {
         misc_families.AIR_DYNAMIC_VISCOSITY_VARIANTS,
         "ZografosEtAl1987",
     ),
-    "bulk_phase_partitioning": (_NULL_VARIANTS, "Null"),
+    "bulk_phase_partitioning": (
+        _NULL_VARIANTS | misc_families.BULK_PHASE_PARTITIONING_VARIANTS, "Null"
+    ),
 }
 
 

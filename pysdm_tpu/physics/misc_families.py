@@ -198,3 +198,57 @@ class RogersYau:
 TERMINAL_VELOCITY_VARIANTS = {
     "RogersYau": RogersYau,
 }
+
+
+# --- optical_albedo / optical_depth -----------------------------------------
+class Bohren1987:
+    """cloud albedo from optical depth (reference
+    ``physics/optical_albedo/bohren1987.py``, Bohren 1987 eq. 14)"""
+
+    @staticmethod
+    def albedo(const, tau):
+        return ((1.0 - const.asymmetry_g) * tau) / (
+            2.0 + (1.0 - const.asymmetry_g) * tau
+        )
+
+
+class Stephens1978:
+    """cloud optical depth from LWP and effective radius (reference
+    ``physics/optical_depth/stephens_1978.py``, Stephens 1978 eq. 7)"""
+
+    @staticmethod
+    def tau(const, LWP, reff):
+        return (1.5 * LWP) / (const.rho_w * reff)
+
+
+OPTICAL_ALBEDO_VARIANTS = {"Bohren1987": Bohren1987}
+OPTICAL_DEPTH_VARIANTS = {"Stephens1978": Stephens1978}
+
+
+# --- bulk_phase_partitioning -------------------------------------------------
+class KaulEtAl2015:
+    """bulk liquid fraction vs temperature (reference
+    ``physics/bulk_phase_partitioning/kaul_et_al_2015.py``, Kaul et al. 2015
+    eq. 1)"""
+
+    @staticmethod
+    def liquid_fraction(const, T):
+        import jax.numpy as jnp
+
+        return jnp.minimum(
+            1.0,
+            jnp.power(
+                jnp.maximum(
+                    0.0,
+                    (T - const.bulk_phase_partitioning_T_cold)
+                    / (
+                        const.bulk_phase_partitioning_T_warm
+                        - const.bulk_phase_partitioning_T_cold
+                    ),
+                ),
+                const.bulk_phase_partitioning_exponent,
+            ),
+        )
+
+
+BULK_PHASE_PARTITIONING_VARIANTS = {"KaulEtAl2015": KaulEtAl2015}

@@ -5,15 +5,39 @@ from .impl import Product, MomentProduct
 from .size_spectral import (
     ParticleVolumeVersusRadiusLogarithmSpectrum,
     ParticleSizeSpectrumPerVolume,
+    ParticleSizeSpectrumPerMassOfDryAir,
     TotalParticleConcentration,
+    TotalParticleSpecificConcentration,
     ParticleConcentration,
+    ParticleSpecificConcentration,
+    ActivatedParticleConcentration,
+    ActivatedParticleSpecificConcentration,
+    ActivatedMeanRadius,
+    ActivatedEffectiveRadius,
     MeanRadius,
+    MeanVolumeRadius,
+    NumberSizeSpectrum,
+    RadiusBinnedNumberAveragedTerminalVelocity,
+    RadiusStandardDeviation,
+    AreaStandardDeviation,
+    VolumeStandardDeviation,
     WaterMixingRatio,
     EffectiveRadius,
+    CloudWaterContent,
+    SpecificCloudWaterContent,
+    LiquidWaterContent,
+    SpecificLiquidWaterContent,
+    make_arbitrary_moment_product,
+    ZerothMoment,
+    VolumeFirstMoment,
+    VolumeSecondMoment,
+    RadiusFirstMoment,
+    RadiusSixthMoment,
 )
 from .housekeeping import (
     WallTime,
     CPUTime,
+    DynamicWallTime,
     SuperDropletCountPerGridbox,
     Time,
 )
@@ -21,14 +45,31 @@ from .collision import (
     CollisionRatePerGridbox,
     CollisionRateDeficitPerGridbox,
     CoalescenceRatePerGridbox,
+    BreakupRatePerGridbox,
+    BreakupRateDeficitPerGridbox,
+    CollisionTimestepMean,
+    CollisionTimestepMin,
 )
 from .freezing import (
     IceWaterContent,
     SpecificIceWaterContent,
     FrozenParticleConcentration,
+    FrozenParticleSpecificConcentration,
     FrozenFraction,
+    IceNucleiConcentration,
+    SpecificIceNucleiConcentration,
+    TotalUnfrozenImmersedSurfaceArea,
+    FreezableSpecificConcentration,
+    CoolingRate,
 )
-from .chemistry import Acidity, AqueousMoleFraction, GaseousMoleFraction
+from .chemistry import (
+    Acidity,
+    AqueousMoleFraction,
+    GaseousMoleFraction,
+    TotalDryMassMixingRatio,
+    AqueousMassSpectrum,
+    SpecificAqueousMassSpectrum,
+)
 from .ambient_thermodynamics import (
     AmbientTemperature,
     AmbientPressure,
@@ -41,9 +82,16 @@ from .displacement import (
     SurfacePrecipitation,
     MaxCourantNumber,
     AveragedTerminalVelocity,
+    FlowVelocityComponent,
 )
 from .condensation import (
     PeakSupersaturation,
     CondensationTimestepMin,
+    CondensationTimestepMax,
+    ActivatingRate,
+    DeactivatingRate,
+    RipeningRate,
     ActivableFraction,
 )
+from .optical import CloudAlbedo, CloudOpticalDepth
+from .parcel import ParcelDisplacement, ParcelLiquidWaterPath

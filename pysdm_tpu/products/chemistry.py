@@ -99,3 +99,83 @@ class GaseousMoleFraction(Product):
         compound = GASEOUS_COMPOUNDS[self.key]
         mixing_ratio = self.particulator.get_env(f"chem_{compound}")
         return mixing_ratio / self.specific_gravity / (1 + mixing_ratio)
+
+
+class TotalDryMassMixingRatio(MomentProduct):
+    """total dry-aerosol mass per mass of dry air (reference
+    ``total_dry_mass_mixing_ratio.py``): density x total dry volume / dv / rhod"""
+
+    def __init__(self, density, name=None, unit="kg/kg"):
+        super().__init__(name=name or "total dry mass mixing ratio", unit=unit)
+        self.density = density
+
+    def _impl(self, **kwargs):
+        _, total_dry_volume = self._download_moment(
+            attr="dry volume", rank=1, skip_division_by_m0=True
+        )
+        rhod = self.particulator.get_env("rhod")
+        return (
+            self.density * total_dry_volume / self.particulator.mesh.dv / rhod
+        )
+
+
+class AqueousMassSpectrum(Product):
+    """dry-radius-binned aqueous compound mass concentration per
+    d(log10 diameter) (reference ``aqueous_mass_spectrum.py``)"""
+
+    def __init__(self, *, key, dry_radius_bins_edges, specific=False,
+                 name=None, unit="kg/m^3"):
+        super().__init__(name=name or f"aqueous {key} mass spectrum", unit=unit)
+        from ..dynamics.impl.chemistry_utils import (
+            AQUEOUS_COMPOUNDS,
+            _MOLAR_MASS_G_MOL,
+        )
+        from ..physics.si import si
+
+        self.key = key
+        self.dry_radius_bins_edges = np.asarray(dry_radius_bins_edges)
+        self.molar_mass = (
+            _MOLAR_MASS_G_MOL[AQUEOUS_COMPOUNDS[key][0]] * si.g / si.mole
+        )
+        self.specific = specific
+        self.dry_volume_bins_edges = None
+
+    def register(self, builder):
+        super().register(builder)
+        self.dry_volume_bins_edges = np.asarray(
+            builder.formulae.trivia.volume(self.dry_radius_bins_edges)
+        )
+        self.shape = (
+            *self.particulator.mesh.grid,
+            len(self.dry_volume_bins_edges) - 1,
+        )
+
+    def _impl(self, **kwargs):
+        m0, m1 = self.particulator.spectrum_moments(
+            attr_name=f"moles_{self.key}",
+            rank=1,
+            attr_bins=self.dry_volume_bins_edges,
+            filter_attr="dry volume",
+        )
+        vals = (m1 * m0).T  # total moles per bin per cell
+        d_log10_d = np.diff(np.log10(2 * self.dry_radius_bins_edges))
+        vals = vals * self.molar_mass / d_log10_d / self.particulator.mesh.dv
+        if self.specific:
+            rhod = np.asarray(self.particulator.get_env("rhod")).reshape(-1, 1)
+            vals = vals / rhod
+        return vals
+
+    def shape_for_output(self, result):
+        return self.shape
+
+
+class SpecificAqueousMassSpectrum(AqueousMassSpectrum):
+    def __init__(self, key, dry_radius_bins_edges, name=None,
+                 unit="dimensionless"):
+        super().__init__(
+            key=key,
+            dry_radius_bins_edges=dry_radius_bins_edges,
+            specific=True,
+            name=name or f"specific aqueous {key} mass spectrum",
+            unit=unit,
+        )

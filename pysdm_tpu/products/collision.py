@@ -26,3 +26,50 @@ class CollisionRateDeficitPerGridbox(_CounterProduct):
 
 class CoalescenceRatePerGridbox(_CounterProduct):
     counter_name = "coalescence_rate"
+
+
+class BreakupRatePerGridbox(_CounterProduct):
+    counter_name = "breakup_rate"
+
+
+class BreakupRateDeficitPerGridbox(_CounterProduct):
+    counter_name = "breakup_rate_deficit"
+
+
+class CollisionTimestepMean(Product):
+    """time-averaged adaptive collision substep length since the previous
+    read, per cell (reference ``collision_timestep_mean.py``:
+    n_steps * dt / accumulated substep count; NaN where no substeps ran)"""
+
+    def __init__(self, name=None, unit="s"):
+        super().__init__(name=name or "collision timestep mean", unit=unit)
+        self._steps_at_last_read = 0
+
+    def _impl(self, **kwargs):
+        import numpy as np
+
+        p = self.particulator
+        steps = max(p.n_steps - self._steps_at_last_read, 1)
+        self._steps_at_last_read = p.n_steps
+        n = np.asarray(p.get_counter("collision_n_substep"), dtype=float)
+        p.reset_counter("collision_n_substep")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(n > 0, steps * p.dt / n, np.nan)
+
+
+class CollisionTimestepMin(Product):
+    """dt / substep count per cell at the last step (reference
+    ``collision_timestep_min.py`` tracks the extremum between reads; the
+    vectorized dynamic keeps one substep count per cell per step)"""
+
+    def __init__(self, name=None, unit="s"):
+        super().__init__(name=name or "collision timestep min", unit=unit)
+
+    def _impl(self, **kwargs):
+        import numpy as np
+
+        p = self.particulator
+        n = np.maximum(
+            np.asarray(p.get_counter("collision_n_substep"), dtype=float), 1.0
+        )
+        return p.dt / n

@@ -35,6 +35,49 @@ class CondensationTimestepMin(Product):
         return p.dt / n
 
 
+class CondensationTimestepMax(CondensationTimestepMin):
+    """dt / substep count per cell; with the lockstep vectorized solver the
+    per-cell substep count is single-valued between reads, so min == max
+    (reference ``CondensationTimestepMax`` tracks an extremum across steps)"""
+
+    def __init__(self, name=None, unit="s"):
+        super().__init__(name=name, unit=unit)
+        self.name = name or "dt_cond_max"
+
+
+class _EventRate(Product):
+    """multiplicity-weighted activation-event rate per mass of dry air, time-
+    averaged since the previous read; fetching resets the counter (reference
+    ``event_rates.py``: count / (n_steps * dt * dv * rhod))"""
+
+    counter_name = None
+
+    def __init__(self, name=None, unit="s^-1 kg^-1"):
+        super().__init__(name=name or self.counter_name, unit=unit)
+        self._steps_at_last_read = 0
+
+    def _impl(self, **kwargs):
+        p = self.particulator
+        steps = max(p.n_steps - self._steps_at_last_read, 1)
+        self._steps_at_last_read = p.n_steps
+        count = p.get_counter(self.counter_name)
+        p.reset_counter(self.counter_name)
+        rhod = p.get_env("rhod")
+        return count / (steps * p.dt * p.mesh.dv * rhod)
+
+
+class RipeningRate(_EventRate):
+    counter_name = "condensation_ripening"
+
+
+class ActivatingRate(_EventRate):
+    counter_name = "condensation_activating"
+
+
+class DeactivatingRate(_EventRate):
+    counter_name = "condensation_deactivating"
+
+
 class ActivableFraction(MomentProduct):
     """fraction of particles with critical supersaturation below the given
     S_max (reference ``activable_fraction.py``)"""

@@ -82,3 +82,33 @@ class AveragedTerminalVelocity(Product):
             filter_range=self.radius_range,
         )
         return np.where(m0 > 0, mk[0], 0.0)
+
+
+class FlowVelocityComponent(Product):
+    """flow velocity component on cell centres, from the staggered courant
+    field (reference ``flow_velocity_component.py``: average of the two
+    component faces x grid_step / dt)"""
+
+    def __init__(self, component: int, name=None, unit="m/s"):
+        super().__init__(name=name or f"flow velocity component {component}",
+                         unit=unit)
+        assert component in (0, 1)
+        self.component = component
+        self.grid_step = np.nan
+        self.time_step = np.nan
+
+    def register(self, builder):
+        super().register(builder)
+        mesh = self.particulator.mesh
+        self.time_step = self.particulator.dt
+        self.grid_step = mesh.size[self.component] / mesh.grid[self.component]
+
+    def _impl(self, **kwargs):
+        c = np.asarray(self.particulator.get_env(f"courant_{self.component}"))
+        if c.ndim == 1:
+            centred = 0.5 * (c[:-1] + c[1:])
+        elif self.component == 0:
+            centred = 0.5 * (c[:-1, :] + c[1:, :])
+        else:
+            centred = 0.5 * (c[:, :-1] + c[:, 1:])
+        return centred * self.grid_step / self.time_step

@@ -4,7 +4,7 @@ frozen particles are those with negative signed water mass."""
 
 import numpy as np
 
-from .impl import MomentProduct
+from .impl import MomentProduct, Product
 
 
 class IceWaterContent(MomentProduct):
@@ -67,3 +67,136 @@ class FrozenFraction(MomentProduct):
         )
         total, _ = self._download_moment(attr="water mass", rank=0)
         return np.where(total > 0, frozen / np.maximum(total, 1), 0.0)
+
+
+class FrozenParticleSpecificConcentration(FrozenParticleConcentration):
+    """number of frozen particles per dry-air mass (reference
+    ``frozen_particle_concentration.py``)"""
+
+    def __init__(self, name=None, unit="kg^-1"):
+        super().__init__(
+            name=name or "frozen particle specific concentration", unit=unit
+        )
+
+    def _impl(self, **kwargs):
+        conc = super()._impl(**kwargs)
+        return conc / self.particulator.get_env("rhod")
+
+
+class IceNucleiConcentration(MomentProduct):
+    """immersed ice-nucleus concentration, frozen or not (reference
+    ``ice_nuclei_concentration.py``): counts particles with a nonzero
+    freezing temperature (singular mode) or immersed surface area
+    (time-dependent mode)"""
+
+    def __init__(self, name=None, unit="m^-3", specific=False):
+        super().__init__(name=name or "ice nuclei concentration", unit=unit)
+        self.specific = specific
+        self._filter_attr = None
+
+    def register(self, builder):
+        super().register(builder)
+        freezing = builder.particulator.dynamics.get("Freezing")
+        singular = freezing.singular if freezing is not None else True
+        self._filter_attr = (
+            "freezing temperature" if singular else "immersed surface area"
+        )
+
+    def _impl(self, **kwargs):
+        m0, _ = self._download_moment(
+            attr="volume",
+            rank=0,
+            filter_attr=self._filter_attr,
+            filter_range=(np.finfo(float).tiny, np.inf),
+        )
+        result = m0 / self.particulator.mesh.dv
+        if self.specific:
+            result = result / self.particulator.get_env("rhod")
+        return result
+
+
+class SpecificIceNucleiConcentration(IceNucleiConcentration):
+    def __init__(self, name=None, unit="kg^-1"):
+        super().__init__(
+            name=name or "specific ice nuclei concentration",
+            unit=unit,
+            specific=True,
+        )
+
+
+class TotalUnfrozenImmersedSurfaceArea(MomentProduct):
+    """total immersed surface area within unfrozen (positive-mass) particles
+    (reference ``total_unfrozen_immersed_surface_area.py``)"""
+
+    def __init__(self, name=None, unit="m^2"):
+        super().__init__(
+            name=name or "total unfrozen immersed surface area", unit=unit
+        )
+
+    def _impl(self, **kwargs):
+        m0, m1 = self._download_moment(
+            attr="immersed surface area",
+            rank=1,
+            filter_attr="signed water mass",
+            filter_range=(0, np.inf),
+        )
+        return m1 * m0
+
+
+class FreezableSpecificConcentration(Product):
+    """freezing-temperature-binned specific number concentration
+    (reference ``freezable_specific_concentration.py``)"""
+
+    def __init__(self, temperature_bins_edges, name=None, unit="kg^-1 K^-1"):
+        super().__init__(
+            name=name or "freezable specific concentration", unit=unit
+        )
+        self.temperature_bins_edges = np.asarray(temperature_bins_edges)
+
+    def register(self, builder):
+        super().register(builder)
+        builder.request_attribute("freezing temperature")
+        self.shape = (
+            *self.particulator.mesh.grid,
+            len(self.temperature_bins_edges) - 1,
+        )
+
+    def _impl(self, **kwargs):
+        m0, _ = self.particulator.spectrum_moments(
+            attr_name="volume",
+            rank=0,
+            attr_bins=self.temperature_bins_edges,
+            filter_attr="freezing temperature",
+        )
+        vals = m0.T  # (n_cell, n_bins)
+        rhod = np.asarray(self.particulator.get_env("rhod")).reshape(-1, 1)
+        dT = np.abs(np.diff(self.temperature_bins_edges)).reshape(1, -1)
+        return vals / (rhod * dT * self.particulator.mesh.dv)
+
+    def shape_for_output(self, result):
+        return self.shape
+
+
+class CoolingRate(Product):
+    """number-averaged cooling rate -dT/dt per cell (reference
+    ``cooling_rate.py``). The reference recomputes per particle every step
+    against the particle's previous-step cell temperature; with the chunked
+    jitted run loop this product reports the cell cooling rate averaged over
+    the steps elapsed since the previous read."""
+
+    def __init__(self, name=None, unit="K/s"):
+        super().__init__(name=name or "cooling rate", unit=unit)
+        self._prev_T = None
+        self._steps_at_last_read = 0
+
+    def _impl(self, **kwargs):
+        p = self.particulator
+        T = np.asarray(p.get_env("T")).copy()
+        steps = max(p.n_steps - self._steps_at_last_read, 1)
+        if self._prev_T is None:
+            rate = np.zeros_like(T)
+        else:
+            rate = -(T - self._prev_T) / (steps * p.dt)
+        self._prev_T = T
+        self._steps_at_last_read = p.n_steps
+        return rate

@@ -71,3 +71,31 @@ class SuperDropletCountPerGridbox(MomentProduct):
             num_segments=self.particulator.mesh.n_cell,
         )
         return np.asarray(counts)
+
+
+class DynamicWallTime(Product):
+    """wall time spent in a given dynamic, reset on read (reference
+    ``dynamic_wall_time.py``). With the fused jitted step the per-dynamic
+    split is not observable from the host; this reports the whole-step
+    wall-time accumulated in ``particulator.timers`` under the dynamic's key
+    when a per-dynamic timer exists, else NaN."""
+
+    def __init__(self, dynamic, name=None, unit="s"):
+        super().__init__(name=name or f"{dynamic} wall time", unit=unit)
+        self.dynamic = dynamic
+
+    def register(self, builder):
+        super().register(builder)
+        self.shape = ()
+
+    def _impl(self, **kwargs):
+        import numpy as np
+
+        timers = self.particulator.timers
+        value = timers.get(self.dynamic, timers.get("total", np.nan))
+        if self.dynamic in timers:
+            timers[self.dynamic] = 0.0
+        return np.asarray(value)
+
+    def shape_for_output(self, result):
+        return ()

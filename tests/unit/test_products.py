@@ -60,6 +60,44 @@ def test_product_collection_on_column():
         prod.AveragedTerminalVelocity(),
         prod.Time(),
         prod.WallTime(),
+        # round-2 coverage: specific/activated/spectral/moment products
+        prod.TotalParticleSpecificConcentration(),
+        prod.ParticleSpecificConcentration(radius_range=(1 * si.um, np.inf)),
+        prod.ActivatedParticleConcentration(
+            count_activated=True, count_unactivated=False
+        ),
+        prod.ActivatedParticleSpecificConcentration(
+            count_activated=True, count_unactivated=False
+        ),
+        prod.ActivatedMeanRadius(count_activated=True, count_unactivated=False),
+        prod.ActivatedEffectiveRadius(
+            count_activated=True, count_unactivated=False
+        ),
+        prod.MeanVolumeRadius(),
+        prod.NumberSizeSpectrum(radius_bins_edges=np.logspace(-8, -4, 11)),
+        prod.ParticleSizeSpectrumPerMassOfDryAir(
+            radius_bins_edges=np.logspace(-8, -4, 11)
+        ),
+        prod.RadiusBinnedNumberAveragedTerminalVelocity(
+            radius_bin_edges=np.logspace(-8, -4, 11)
+        ),
+        prod.RadiusStandardDeviation(),
+        prod.AreaStandardDeviation(),
+        prod.VolumeStandardDeviation(),
+        prod.CloudWaterContent(),
+        prod.SpecificCloudWaterContent(),
+        prod.LiquidWaterContent(),
+        prod.SpecificLiquidWaterContent(),
+        prod.ZerothMoment(),
+        prod.VolumeFirstMoment(),
+        prod.RadiusFirstMoment(),
+        prod.CondensationTimestepMax(),
+        prod.ActivatingRate(),
+        prod.DeactivatingRate(),
+        prod.RipeningRate(),
+        prod.CoolingRate(),
+        prod.FlowVelocityComponent(component=0),
+        prod.DynamicWallTime("Condensation"),
     )
     particulator = builder.build(attributes, products=products)
     particulator.sim_state["env"]["courant_0"] = jnp.full(
