@@ -136,3 +136,32 @@ VARIANTS = {
     "MixedPhaseSpheres": MixedPhaseSpheres,
     "ColumnarIce": ColumnarIce,
 }
+
+
+class PorousSpheroid:
+    """porous spheroids (Shima et al. 2020) / prolate spheroids
+    (Spichtinger & Gierens 2009) geometry helpers (reference
+    ``particle_shape_and_density/porous_spheroids.py``)"""
+
+    @staticmethod
+    def supports_mixed_phase(const=None):
+        return True
+
+    @staticmethod
+    def aspect_ratio(const, polar_radius, equatorial_radius):
+        return polar_radius / equatorial_radius
+
+    @staticmethod
+    def equatorial_radius(const, polar_radius, aspect_ratio):
+        return polar_radius / aspect_ratio
+
+    @staticmethod
+    def polar_radius(const, equatorial_radius, aspect_ratio):
+        return equatorial_radius * aspect_ratio
+
+    @staticmethod
+    def eccentricity(const, aspect_ratio):
+        return jnp.sqrt(1 - aspect_ratio**-2.0)
+
+
+VARIANTS["PorousSpheroid"] = PorousSpheroid
