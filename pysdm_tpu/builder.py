@@ -81,6 +81,22 @@ class Builder:
 
             multiplicity = discretise_multiplicities(multiplicity)
 
+        # chemistry-derived dry volume (reference
+        # ``attributes/physics/dry_volume.py`` DryVolumeDynamic variant):
+        # with AqueousChemistry active, dry volume = moles_S_VI * M / rho
+        if (
+            "dry volume" not in attributes
+            and "moles_S_VI" in attributes
+            and "AqueousChemistry" in particulator.dynamics
+        ):
+            chem_dyn = particulator.dynamics["AqueousChemistry"]
+            if chem_dyn.dry_rho is not None:
+                attributes["dry volume"] = (
+                    np.asarray(attributes["moles_S_VI"])
+                    * chem_dyn.dry_molar_mass
+                    / chem_dyn.dry_rho
+                )
+
         cell_id = attributes.pop("cell id", None)
         cell_origin = attributes.pop("cell origin", None)
         position_in_cell = attributes.pop("position in cell", None)

@@ -200,6 +200,13 @@ class AqueousChemistry:
 
             for key, value in moles.items():
                 particles = particles.set_ext(f"moles_{key}", value)
+            # dry volume grows with oxidation (reference
+            # ``attributes/physics/dry_volume.py`` DryVolumeDynamic)
+            if self.dry_rho is not None and particles.has_ext("dry volume"):
+                particles = particles.set_ext(
+                    "dry volume",
+                    moles["S_VI"] * (self.dry_molar_mass / self.dry_rho),
+                )
             return {**sim, "particles": particles, "env": env}
 
         return step

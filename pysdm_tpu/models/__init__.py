@@ -1,3 +1,26 @@
-"""ready-made simulation configurations (the reference's examples layer):
-box coalescence, adiabatic parcel, 1D column, 2D kinematic warm rain"""
-from . import arabas_et_al_2015
+"""Ready-made paper-reproduction configurations — the counterpart of the
+reference's examples/app layer (``examples/PySDM_examples/``, SURVEY.md L12).
+
+Box coalescence/breakup:   shima_et_al_2009, berry_1967,
+                           dejong_mackay_et_al_2023
+Adiabatic parcel:          pyrcel, abdul_razzak_ghan_2000, lowe_et_al_2019,
+                           kreidenweis_et_al_2003 (aqueous chemistry)
+Freezing box:              alpert_and_knopf_2016
+1D kinematic column:       shipway_and_hill_2012
+2D kinematic warm rain:    arabas_et_al_2015 (flagship)
+Benchmark harness:         bartman_et_al_2021
+"""
+
+from . import (
+    abdul_razzak_ghan_2000,
+    alpert_and_knopf_2016,
+    arabas_et_al_2015,
+    bartman_et_al_2021,
+    berry_1967,
+    dejong_mackay_et_al_2023,
+    kreidenweis_et_al_2003,
+    lowe_et_al_2019,
+    pyrcel,
+    shima_et_al_2009,
+    shipway_and_hill_2012,
+)

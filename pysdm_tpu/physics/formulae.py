@@ -106,7 +106,22 @@ _FAMILIES = {
     "homogeneous_ice_nucleation_rate": (
         _NULL_VARIANTS | ice_nucleation.HOMOGENEOUS_RATE_VARIANTS, "Null"
     ),
-    "fragmentation_function": (_NULL_VARIANTS | {"AlwaysN": Null}, "AlwaysN"),
+    # fragmentation-number sampling itself lives in
+    # dynamics/collisions/breakup_fragmentations.py (+ ops/breakup.py); the
+    # physics-family slot accepts the reference's variant names
+    # (reference ``PySDM/physics/fragmentation_function/``) for API parity
+    "fragmentation_function": (
+        _NULL_VARIANTS
+        | {
+            name: Null
+            for name in (
+                "AlwaysN", "ConstantMass", "Exponential", "ExponFrag",
+                "Feingold1988", "Gaussian", "LowList1982Nf", "SLAMS",
+                "Straub2010Nf",
+            )
+        },
+        "AlwaysN",
+    ),
     "isotope_equilibrium_fractionation_factors": (
         _NULL_VARIANTS | isotopes.EQUILIBRIUM_VARIANTS, "Null"
     ),

@@ -46,6 +46,7 @@ class _SI:
 
     # derived
     newton = newtons = N = 1.0
+    millinewton = mN = 1e-3
     joule = joules = J = 1.0
     watt = watts = W = 1.0
     pascal = pascals = Pa = 1.0

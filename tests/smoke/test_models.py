@@ -1,0 +1,216 @@
+"""Smoke tests for the paper-reproduction models layer
+(model: the reference's examples-suite tests,
+``tests/smoke_tests/*/*`` + ``tests/examples_tests``): each headline
+configuration builds, runs, and reproduces its paper's qualitative result."""
+
+import numpy as np
+import pytest
+
+from pysdm_tpu.initialisation import spectra
+from pysdm_tpu.physics import Formulae, si
+
+
+class TestShima2009:
+    @staticmethod
+    def test_spectrum_evolution_matches_golovin_analytic():
+        from pysdm_tpu.models import shima_et_al_2009 as m
+
+        settings = m.Settings(steps=[0, 1200])
+        settings.n_sd = 2**12
+        vals, wall_time = m.run(settings)
+        assert wall_time > 0
+        r_mid = np.sqrt(
+            settings.radius_bins_edges[:-1] * settings.radius_bins_edges[1:]
+        )
+        analytic = m.golovin_analytic_dvdlnr(
+            r_mid, 1200.0, b=1.5e3, x_0=settings.X0,
+            n_part=settings.n_part, rho=settings.rho,
+        )
+        measured = vals[1200]
+        scale = analytic.max()
+        rmse = np.sqrt(np.mean(((measured - analytic) / scale) ** 2))
+        assert rmse < 0.15
+        # mass conservation across output steps
+        dlnr = np.diff(np.log(settings.radius_bins_edges))
+        m0 = (vals[0] * dlnr).sum()
+        m1 = (vals[1200] * dlnr).sum()
+        np.testing.assert_allclose(m0, m1, rtol=5e-2)
+
+
+class TestBerry1967:
+    @staticmethod
+    def test_collection_growth():
+        from pysdm_tpu.models import berry_1967 as m
+
+        settings = m.Settings(steps=[0, 400])
+        settings.n_sd = 2**11
+        vals, _ = m.run(settings)
+        r_mid = np.sqrt(
+            settings.radius_bins_edges[:-1] * settings.radius_bins_edges[1:]
+        )
+        mean_r0 = (vals[0] * r_mid).sum() / vals[0].sum()
+        mean_r1 = (vals[400] * r_mid).sum() / vals[400].sum()
+        assert mean_r1 > mean_r0  # hydrodynamic collection shifts mass up
+
+
+class TestDeJongMackay2023:
+    @staticmethod
+    def test_breakup_rates_reported():
+        from pysdm_tpu.models import dejong_mackay_et_al_2023 as m
+
+        settings = m.Settings0D()
+        settings.n_sd = 2**9
+        settings._steps = [0, 16]
+        out = m.run_box_breakup(settings, return_nv=True)
+        collision, deficit, coalescence, breakup = out.rates[-1]
+        assert collision > 0 and coalescence > 0 and breakup > 0
+        np.testing.assert_allclose(
+            collision, coalescence + breakup, rtol=1e-6
+        )
+        assert out.y.shape == (2, len(settings.radius_bins_edges) - 1)
+
+
+class TestPyrcel:
+    @staticmethod
+    def test_supersaturation_peak_and_activation():
+        from pysdm_tpu.models.pyrcel import Settings, Simulation
+
+        settings = Settings(
+            dz=10 * si.m,
+            n_sd_per_mode=(16, 16),
+            aerosol_modes_by_kappa={
+                0.54: spectra.Lognormal(
+                    norm_factor=850 / si.cm**3, m_mode=15 * si.nm, s_geom=1.6
+                ),
+                1.2: spectra.Lognormal(
+                    norm_factor=10 / si.cm**3, m_mode=850 * si.nm, s_geom=1.2
+                ),
+            },
+            vertical_velocity=1.0 * si.m / si.s,
+            initial_pressure=775 * si.mbar,
+            initial_temperature=274 * si.K,
+            initial_relative_humidity=0.98,
+            displacement=250 * si.m,
+            formulae=Formulae(constants={"MAC": 0.3}, seed=44),
+        )
+        sim = Simulation(settings)
+        out = sim.run()
+        smax = np.nanmax(out["products"]["S_max"])
+        assert 0.001 < smax < 0.01  # ~0.4-0.8% peak supersaturation
+        # coarse mode (kappa=1.2, 850nm) activates: final wet radii large
+        vol_final = out["attributes"]["volume"][-1]
+        r_final = (3 * vol_final / 4 / np.pi) ** (1 / 3)
+        assert (r_final[16:] > 1e-6).all()
+
+
+class TestAbdulRazzakGhan2000:
+    @staticmethod
+    def test_mode1_activated_fraction():
+        from pysdm_tpu.models.abdul_razzak_ghan_2000 import run_parcel
+
+        out = run_parcel(
+            w=0.5, sol2=1.0, N2=100 / si.cm**3, rad2=50 * si.nm,
+            n_sd_per_mode=16, n_steps=30,
+        )
+        # identical modes -> identical activated fractions
+        np.testing.assert_allclose(
+            out.activated_fraction_S[0], out.activated_fraction_S[1],
+            atol=0.12,
+        )
+        assert 0.05 < out.activated_fraction_S[0] < 0.95
+        # S- and V-based activation diagnostics agree roughly
+        np.testing.assert_allclose(
+            out.activated_fraction_S, out.activated_fraction_V, atol=0.25
+        )
+
+
+class TestLowe2019:
+    @staticmethod
+    @pytest.mark.parametrize("forg", (0.2,))
+    def test_film_model_increases_cdnc(forg):
+        from pysdm_tpu.models.lowe_et_al_2019 import (
+            AerosolMarine,
+            Settings,
+            Simulation,
+        )
+
+        cdnc = {}
+        for model in ("Constant", "CompressedFilmOvadnevaite"):
+            settings = Settings(
+                dz=5.0,
+                n_sd_per_mode=16,
+                aerosol=AerosolMarine(
+                    water_molar_volume=18.015e-3 / 1000.0, Forg=forg
+                ),
+                model=model,
+            )
+            sim = Simulation(settings)
+            out = sim.run()
+            cdnc[model] = out["CDNC"][-1]
+        # the paper's headline effect: organic-film surface tension
+        # lowers the activation barrier -> more droplets activate
+        assert cdnc["CompressedFilmOvadnevaite"] > cdnc["Constant"]
+
+
+class TestKreidenweis2003:
+    @staticmethod
+    def test_in_cloud_pH_and_SO2_depletion():
+        from pysdm_tpu.models.kreidenweis_et_al_2003 import (
+            Settings,
+            Simulation,
+        )
+
+        settings = Settings(dt=10.0, n_sd=16, n_substep=5)
+        settings.t_max = 400.0
+        sim = Simulation(settings)
+        out = sim.run()
+        assert 3.0 < out["pH"][-1] < 6.0  # in-cloud droplet acidity
+        assert out["gas_S_IV"][-1] < out["gas_S_IV"][0]  # SO2 consumed
+        assert out["liquid water mixing ratio"][-1] > 1e-5  # cloud formed
+
+
+class TestAlpertKnopf2016:
+    @staticmethod
+    def test_constant_jhet_exponential_decay():
+        from pysdm_tpu.models.alpert_and_knopf_2016 import simulation
+        from pysdm_tpu.initialisation import spectra as spc
+
+        J_het = 1e7  # 1/m2/s
+        A = 1e-9  # m2 per droplet
+        dt, nt = 10.0, 20
+        spec = spc.Lognormal(norm_factor=1000 / 1e-6, m_mode=A, s_geom=1.0)
+        f_ufz, a_tot = simulation(
+            constants={"J_HET": J_het},
+            seed=1, n_sd=1000, time_step=dt, volume=1e-6,
+            spectrum=spec, droplet_volume=1e-18, multiplicity=1,
+            total_time=dt * nt, number_of_real_droplets=1000,
+            cooling_rate=0,
+            heterogeneous_ice_nucleation_rate="Constant",
+            initial_temperature=240.0,
+        )
+        f = np.asarray(f_ufz)
+        t = dt * np.arange(len(f))
+        expected = np.exp(-J_het * A * t)
+        assert abs(f[-1] - expected[-1]) < 0.1
+        assert (np.diff(f) <= 0).all()  # monotone freezing
+        assert a_tot[-1] < a_tot[0]  # unfrozen surface area shrinks
+
+
+class TestShipwayHill2012:
+    @staticmethod
+    def test_column_cloud_formation():
+        from pysdm_tpu.models.shipway_and_hill_2012 import (
+            Settings,
+            Simulation,
+        )
+
+        settings = Settings(
+            n_sd_per_gridbox=8, dz=100.0, z_max=3000.0,
+            t_max=240.0, dt=2.0,
+        )
+        sim = Simulation(settings)
+        out = sim.run(steps_per_output=60)
+        assert np.max(out["RH"][-1]) > 1.0  # updraft supersaturates
+        assert np.max(out["qc"][-1]) > 1e-5  # cloud water forms
+        T = out["T"][-1]
+        assert (T > 250).all() and (T < 320).all()
