@@ -183,3 +183,66 @@ def test_bounce_and_coalesce_branches():
     np.testing.assert_allclose(float(ext_out[0, 1]), 2e-10)
     # pair (8,8): equal -> j depleted, k splits 4/4
     assert int(mult_out[2]) == 4 and int(mult_out[3]) == 4
+
+
+class TestLowList1982Nf:
+    @staticmethod
+    def test_mass_conservation_and_finiteness():
+        """LL82 fragment sampling (reference ``lowlist82.py`` +
+        ``_ll82_fragmentation_body``): nf * fragment_mass == pair mass,
+        all outputs finite, nfmax honored"""
+        import jax.numpy as jnp
+        from pysdm_tpu.physics import Formulae
+        from pysdm_tpu.dynamics.collisions.breakup_fragmentations import (
+            LowList1982Nf,
+        )
+
+        formulae = Formulae()
+        frag = LowList1982Nf(nfmax=1e4)
+        n = 256
+        rng = np.random.default_rng(5)
+        ra = jnp.asarray(rng.uniform(0.3e-3, 1.5e-3, n))
+        rb = jnp.asarray(rng.uniform(0.1e-3, 1.0e-3, n))
+        va = 4 / 3 * np.pi * ra**3
+        vb = 4 / 3 * np.pi * rb**3
+        attrs_a = {
+            "volume": va, "radius": ra, "water mass": va * 1e3,
+            "relative fall velocity": jnp.asarray(rng.uniform(4.0, 9.0, n)),
+        }
+        attrs_b = {
+            "volume": vb, "radius": rb, "water mass": vb * 1e3,
+            "relative fall velocity": jnp.asarray(rng.uniform(1.0, 5.0, n)),
+        }
+        u01 = jnp.asarray(rng.uniform(0, 1, n))
+        nf, fmass = frag.pairwise(formulae, attrs_a, attrs_b, u01)
+        nf, fmass = np.asarray(nf), np.asarray(fmass)
+        assert np.isfinite(nf).all() and np.isfinite(fmass).all()
+        assert (nf >= 1 - 1e-9).all() and (nf <= 1e4 + 1e-6).all()
+        np.testing.assert_allclose(nf * fmass, np.asarray(va + vb) * 1e3,
+                                   rtol=1e-6)
+
+    @staticmethod
+    def test_small_drops_coalesce():
+        """pairs below the 0.4 mm large-drop threshold produce a single
+        coalesced fragment (reference ``_ll82_fragmentation_body`` first
+        branch)"""
+        import jax.numpy as jnp
+        from pysdm_tpu.physics import Formulae
+        from pysdm_tpu.dynamics.collisions.breakup_fragmentations import (
+            LowList1982Nf,
+        )
+
+        formulae = Formulae()
+        frag = LowList1982Nf()
+        r = jnp.asarray([50e-6, 20e-6])
+        v = 4 / 3 * np.pi * r**3
+        attrs = lambda rr, vv: {
+            "volume": vv, "radius": rr, "water mass": vv * 1e3,
+            "relative fall velocity": jnp.asarray([1.0, 0.3]),
+        }
+        nf, fmass = frag.pairwise(
+            formulae, attrs(r, v),
+            attrs(jnp.roll(r, -1), jnp.roll(v, -1)),
+            jnp.asarray([0.5, 0.5]),
+        )
+        np.testing.assert_allclose(np.asarray(nf), 1.0, rtol=1e-9)
