@@ -16,12 +16,15 @@ from .particulator import Particulator
 
 class Builder:
     def __init__(self, n_sd, backend, environment=None):
+        self.n_sd = n_sd
         self.particulator = Particulator(n_sd, backend)
         self.formulae = backend.formulae
         self.requested_attributes = {"multiplicity", "cell id"}
         self._counters = {}
         self._flags = {}
         self._extra_env = {}
+        self._u01_purposes = []
+        self.u01_injection = False
         self.environment = environment
         if environment is not None:
             environment.register(self)
@@ -46,6 +49,22 @@ class Builder:
     def add_counter(self, name, n_cell, dtype, fill=0):
         dtype = dtype or self.particulator.dtype
         self._counters[name] = jnp.asarray(np.full((n_cell,), fill, dtype=np.dtype(dtype)))
+
+    def enable_u01_injection(self):
+        """parity/validation mode (SURVEY.md §7 delta #6): dynamics draw
+        their u01 streams from ``sim_state['u01'][purpose]`` — arrays the
+        host replaces between single-step dispatches via
+        ``particulator.inject_u01`` — instead of the jitted threefry chain.
+        This is the hook for seeded cross-checks against the reference
+        (inject the identical u01 numbers exactly where PySDM's
+        RandomGeneratorOptimizer consumes them)."""
+        self.u01_injection = True
+        self.particulator.u01_injection = True
+
+    def add_u01_purpose(self, name):
+        """called by dynamics in register() to reserve an injected stream"""
+        if name not in self._u01_purposes:
+            self._u01_purposes.append(name)
 
     def add_flag(self, name, default: bool):
         """traced on/off switch for a dynamic (host-togglable without
@@ -145,6 +164,11 @@ class Builder:
             "flags": dict(self._flags),
             "key": key,
         }
+        if self.u01_injection:
+            particulator.sim_state["u01"] = {
+                name: jnp.zeros(self.n_sd, dtype=dtype)
+                for name in self._u01_purposes
+            }
 
         # compose per-step function from dynamics (insertion order is
         # semantically significant — reference particulator.py:50-56)

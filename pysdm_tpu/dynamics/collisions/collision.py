@@ -74,6 +74,20 @@ class Collision:
             self.compute_coalescence_efficiency.register(builder)
             self.compute_breakup_efficiency.register(builder)
             self.compute_number_of_fragments.register(builder)
+        self.u01_injection = builder.u01_injection
+        if self.u01_injection:
+            if self.adaptive or self.substeps != 1:
+                raise ValueError(
+                    "u01 injection requires adaptive=False, substeps=1 "
+                    "(one injected stream per purpose per step)"
+                )
+            for purpose in (
+                "collision_shuffle",
+                "collision_gamma",
+                "collision_process",
+                "collision_fragmentation",
+            ):
+                builder.add_u01_purpose(purpose)
         n_cell = self.particulator.mesh.n_cell
         ftype = self.particulator.dtype
         # rate counters share the multiplicity dtype (int64, or f64 when
@@ -107,10 +121,19 @@ class Collision:
             max_multiplicity = self.max_multiplicity
             handle_all = formulae.handle_all_breakups
 
-        def substep(particles, env, counters, key, dt_left, prob_scale):
+        u01_injection = getattr(self, "u01_injection", False)
+
+        def substep(particles, env, counters, key, dt_left, prob_scale,
+                    injected=None):
             n_sd = particles.n_sd
             key, k_sh, k_gam, k_proc, k_frag = jax.random.split(key, 5)
-            u_sh = jax.random.uniform(k_sh, (n_sd,), dtype=ftype)
+
+            def draw(purpose, k):
+                if injected is not None:
+                    return injected[purpose]
+                return jax.random.uniform(k, (n_sd,), dtype=ftype)
+
+            u_sh = draw("collision_shuffle", k_sh)
             # one variadic sort carries the whole state as payload operands
             # (TPU gathers/scatters are element-at-a-time — the sort is the
             # only shuffle) and the state stays in sorted order afterwards
@@ -160,7 +183,7 @@ class Collision:
             else:
                 prob = prob * prob_scale
 
-            rand = jax.random.uniform(k_gam, (n_sd,), dtype=ftype)
+            rand = draw("collision_gamma", k_gam)
             gamma, counters = coll_ops.compute_gamma(
                 prob, rand, mult_s, sorted_cell, is_first, n_cell, counters,
                 cell_start=cell_start,
@@ -174,8 +197,8 @@ class Collision:
             else:
                 from ...ops.breakup import collision_coalescence_breakup
 
-                u_proc = jax.random.uniform(k_proc, (n_sd,), dtype=ftype)
-                u_frag = jax.random.uniform(k_frag, (n_sd,), dtype=ftype)
+                u_proc = draw("collision_process", k_proc)
+                u_frag = draw("collision_fragmentation", k_frag)
                 Ec = ec_fn.pairwise(formulae, attrs_a, attrs_b)
                 Eb = eb_fn.pairwise(formulae, attrs_a, attrs_b)
                 n_fragment, fragment_mass = frag.pairwise(
@@ -217,9 +240,11 @@ class Collision:
             env = sim["env"]
             if not adaptive:
                 dt_left = jnp.zeros((n_cell,), ftype)
+                injected = sim.get("u01") if u01_injection else None
                 for _ in range(substeps):
                     particles, counters, key, dt_left = substep(
-                        particles, env, counters, key, dt_left, 1.0 / substeps
+                        particles, env, counters, key, dt_left,
+                        1.0 / substeps, injected=injected,
                     )
             else:
                 dt_left0 = jnp.full((n_cell,), dt, dtype=ftype)

@@ -37,11 +37,18 @@ class Freezing:
         if self.homogeneous_freezing:
             assert formulae.homogeneous_ice_nucleation_rate.variant != "Null"
             builder.request_attribute("volume")
+        self.u01_injection = builder.u01_injection
+        if self.u01_injection:
+            if not self.singular and self.immersion_freezing:
+                builder.add_u01_purpose("freezing_immersion")
+            if self.homogeneous_freezing:
+                builder.add_u01_purpose("freezing_homogeneous")
 
     def make_step(self, particulator):
         formulae = particulator.formulae
         resolver = particulator._resolver
         dt = particulator.dt
+        u01_injection = getattr(self, "u01_injection", False)
         singular = self.singular
         immersion = self.immersion_freezing
         homogeneous = self.homogeneous_freezing
@@ -81,9 +88,14 @@ class Freezing:
                     )
                 else:
                     key, sub = jax.random.split(key)
-                    rand = jax.random.uniform(
-                        sub, signed_mass.shape, dtype=signed_mass.dtype
-                    )
+                    if u01_injection:
+                        rand = sim["u01"]["freezing_immersion"].astype(
+                            signed_mass.dtype
+                        )
+                    else:
+                        rand = jax.random.uniform(
+                            sub, signed_mass.shape, dtype=signed_mass.dtype
+                        )
                     signed_mass = frz_ops.freeze_time_dependent(
                         formulae=formulae,
                         rand=rand,
@@ -99,9 +111,14 @@ class Freezing:
                     )
             if homogeneous:
                 key, sub = jax.random.split(key)
-                rand = jax.random.uniform(
-                    sub, signed_mass.shape, dtype=signed_mass.dtype
-                )
+                if u01_injection:
+                    rand = sim["u01"]["freezing_homogeneous"].astype(
+                        signed_mass.dtype
+                    )
+                else:
+                    rand = jax.random.uniform(
+                        sub, signed_mass.shape, dtype=signed_mass.dtype
+                    )
                 volume = formulae.particle_shape_and_density.mass_to_volume(
                     jnp.abs(signed_mass)
                 )

@@ -46,6 +46,7 @@ class Particulator:
         self._resolver = AttributeResolver(self.formulae)
         self.attributes = _AttributeView(self)
         self.timers = {}
+        self.u01_injection = False
 
     # -- stepping -------------------------------------------------------
     def run(self, steps):
@@ -95,6 +96,19 @@ class Particulator:
         if name not in self.sim_state["flags"]:
             raise KeyError(f"unknown flag: {name}")
         self.sim_state["flags"][name] = jnp.asarray(bool(value))
+
+    def inject_u01(self, streams: dict):
+        """parity/validation mode: replace injected u01 arrays (one per
+        purpose, shape (n_sd,)) consumed by the NEXT step. Requires the
+        simulation to have been built after Builder.enable_u01_injection."""
+        if not self.u01_injection:
+            raise RuntimeError(
+                "u01 injection not enabled (Builder.enable_u01_injection)"
+            )
+        for name, arr in streams.items():
+            if name not in self.sim_state["u01"]:
+                raise KeyError(f"unknown u01 purpose: {name}")
+            self.sim_state["u01"][name] = jnp.asarray(arr, dtype=self.dtype)
 
     def get_env(self, key):
         if key in self.sim_state["env"]:
