@@ -134,6 +134,27 @@ class AttributeResolver:
             kappa = self.get(state, "kappa")
             r_cr = f.hygroscopicity.r_cr(kappa, rd3, T, sgm)
             return f.hygroscopicity.RH_eq(r_cr, T, kappa, rd3, sgm)
+        if name == "equilibrium saturation":
+            # kappa-Koehler equilibrium saturation at the ambient cell T
+            # (reference ``attributes/physics/equilibrium_saturation.py``)
+            if env is None:
+                raise KeyError("equilibrium saturation requires the env")
+            T = env["T"][state.cell_id]
+            v_dry = state.ext("dry volume")
+            v_wet = self.get(state, "volume")
+            sgm = f.surface_tension.sigma(
+                T, v_wet, v_dry,
+                self.get(state, "dry volume organic fraction"),
+            )
+            return f.hygroscopicity.RH_eq(
+                self.get(state, "radius"),
+                T,
+                self.get(state, "kappa"),
+                v_dry / f.constants.PI_4_3,
+                sgm,
+            )
+        if name == "hygroscopicity":  # reference alias for kappa
+            return self.get(state, "kappa")
         if name.startswith("delta_"):
             # heavy-to-light isotopic ratio vs the VSMOW reference
             heavy = name[len("delta_"):]

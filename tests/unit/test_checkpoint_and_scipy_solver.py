@@ -143,3 +143,21 @@ class TestScipyOdeSolver:
             ).sum()
         )
         np.testing.assert_allclose(lw_i, lw_s, rtol=2e-2)
+
+
+class TestDerivedAttributes:
+    @staticmethod
+    def test_equilibrium_saturation_tracks_ambient_rh():
+        """haze droplets at Koehler equilibrium have RH_eq ~ ambient RH
+        (reference ``attributes/physics/equilibrium_saturation.py``)"""
+        p = build_parcel(n_sd=16)
+        p.run(5)
+        es = np.asarray(p.attributes["equilibrium saturation"])
+        rh = float(p.get_env("RH")[0])
+        assert np.isfinite(es).all()
+        np.testing.assert_allclose(es, rh, rtol=0.02)
+        # alias parity
+        np.testing.assert_array_equal(
+            np.asarray(p.attributes["hygroscopicity"]),
+            np.asarray(p.attributes["kappa"]),
+        )
