@@ -13,6 +13,7 @@ Benchmark harness:         bartman_et_al_2021
 
 from . import (
     abdul_razzak_ghan_2000,
+    arabas_and_shima_2017,
     alpert_and_knopf_2016,
     arabas_et_al_2015,
     bartman_et_al_2021,

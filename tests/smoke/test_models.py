@@ -214,3 +214,25 @@ class TestShipwayHill2012:
         assert np.max(out["qc"][-1]) > 1e-5  # cloud water forms
         T = out["T"][-1]
         assert (T > 250).all() and (T < 320).all()
+
+
+class TestArabasShima2017:
+    @staticmethod
+    def test_activation_hysteresis():
+        from pysdm_tpu.models.arabas_and_shima_2017 import (
+            Settings,
+            Simulation,
+        )
+
+        settings = Settings(
+            w_avg=1.0, N_STP=50 / si.cm**3, r_dry=0.1 * si.um,
+            mass_of_dry_air=1e3 * si.kg, n_output=100,
+        )
+        sim = Simulation(settings)
+        out = sim.run()
+        rh = np.asarray(out["RH"])
+        r = np.asarray(out["r"])
+        assert rh.max() > 1.0  # supersaturation reached on updraft
+        assert r.max() > 1e-6  # droplet activates
+        # downdraft phase brings RH back below saturation
+        assert rh[-1] < rh.max()
