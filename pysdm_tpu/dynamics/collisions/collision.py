@@ -133,7 +133,11 @@ class Collision:
                     return injected[purpose]
                 return jax.random.uniform(k, (n_sd,), dtype=ftype)
 
-            u_sh = draw("collision_shuffle", k_sh)
+            if injected is not None:
+                u_sh = injected["collision_shuffle"]
+            else:
+                # raw bits: the packed-key shuffle consumes uint32 directly
+                u_sh = jax.random.bits(k_sh, (n_sd,), jnp.uint32)
             # one variadic sort carries the whole state as payload operands
             # (TPU gathers/scatters are element-at-a-time — the sort is the
             # only shuffle) and the state stays in sorted order afterwards
@@ -142,7 +146,7 @@ class Collision:
                 sorted_cell,
                 cell_start,
                 is_first,
-            ) = seg_ops.bucket_shuffle_state(particles, u_sh, n_cell)
+            ) = seg_ops.bucket_shuffle_state(particles, u_sh, n_cell, mesh)
             attr_names = set(kernel.required_attributes)
             if enable_breakup:
                 attr_names |= set(getattr(frag, "required_attributes", ()))

@@ -104,7 +104,7 @@ class Condensation:
             # the solver requires cell-sorted drops (cumsum-based per-cell
             # coupling — no TPU scatters); the state stays sorted afterwards
             particles, _sorted_cell, cell_start = sort_state_by_cell(
-                particles, n_cell
+                particles, n_cell, mesh
             )
             signed_mass = particles.ext("signed water mass")
             attrs = {

@@ -16,8 +16,76 @@ to a serial scatter-add on TPU (~9 ms per 2^20 updates measured on v5e),
 while a cumsum is a handful of fast vector passes.
 """
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+
+def rand_bits_for(n_cell):
+    """bits of per-cell randomness left in a packed (cell | random) u32 key"""
+    cell_bits = max(1, int(np.ceil(np.log2(n_cell + 1))))
+    return 32 - cell_bits
+
+
+# below this many random bits, key ties within a cell become likely enough
+# to bias the pairing — fall back to the 2-key (cell, u01) sort
+_MIN_RAND_BITS = 16
+
+
+def _shuffle_keys(cell_id, alive, rand, n_cell):
+    """pack (cell, random) into ONE u32 sort key when enough random bits fit
+    (XLA's TPU sort is a multi-pass compare-exchange network whose HBM
+    traffic scales with total operand width — one u32 key instead of
+    (i32 cell, f32 u01) cuts the dominant cost by ~1/3). Dead particles get
+    cell n_cell (trailing bucket). ``rand`` may be u32 random bits or u01
+    floats (converted — the u01-injection path).
+    Returns (keys tuple, num_keys, rand_bits or None)."""
+    nbits = rand_bits_for(n_cell)
+    if jnp.issubdtype(rand.dtype, jnp.floating):
+        bits = jnp.minimum(
+            (rand.astype(jnp.float32) * np.float32(2.0**nbits)).astype(
+                jnp.uint32
+            ),
+            jnp.uint32(2**nbits - 1),
+        )
+    else:
+        bits = rand.astype(jnp.uint32) >> (32 - nbits)
+    if nbits < _MIN_RAND_BITS:
+        key_cell = jnp.where(alive, cell_id, n_cell).astype(jnp.int32)
+        return (key_cell, bits), 2, None
+    key_cell = jnp.where(alive, cell_id, n_cell).astype(jnp.uint32)
+    packed = (key_cell << nbits) | bits
+    return (packed,), 1, nbits
+
+
+def _sorted_cell_of(sorted_key0, num_keys, nbits):
+    if num_keys == 1:
+        return (sorted_key0 >> nbits).astype(jnp.int32)
+    return sorted_key0
+
+
+def reconstruct_cell_rows(particles, sorted_cell, n_cell, mesh=None):
+    """rebuild the cell_id / cell_origin state rows from the sorted cell
+    keys instead of carrying them through the sort as payload operands
+    (origin = unravel(cell_id) by the mesh's row-major strides,
+    ``impl/mesh.py``; dead slots clip to cell n_cell-1 — they are masked by
+    multiplicity 0 everywhere)"""
+    cell_id = jnp.minimum(sorted_cell, n_cell - 1).astype(
+        particles.cell_id.dtype
+    )
+    n_dim = particles.cell_origin.shape[0]
+    if n_dim == 0:
+        return particles.replace(cell_id=cell_id)
+    assert mesh is not None, "mesh needed to reconstruct cell_origin"
+    strides = np.asarray(mesh.strides).ravel()
+    rows = []
+    rem = cell_id
+    for s in strides:
+        rows.append((rem // int(s)).astype(particles.cell_origin.dtype))
+        rem = rem % int(s)
+    origin = jnp.stack(rows)
+    return particles.replace(cell_id=cell_id, cell_origin=origin)
 
 
 def bucket_shuffle(cell_id, alive, u01, n_cell):
@@ -71,39 +139,57 @@ def bucket_shuffle_payload(cell_id, alive, u01, n_cell, payloads=()):
     return sorted_payloads, sorted_cell, cell_start, is_first_in_pair
 
 
-def bucket_shuffle_state(particles, u01, n_cell):
+def bucket_shuffle_state(particles, rand, n_cell, mesh=None):
     """bucket-shuffle an entire ParticleState: every per-particle array rides
     the one sort as a payload operand; the returned state is in sorted slot
     order (particle order is not semantically meaningful — dynamics that sort
     keep the state sorted rather than scattering back).
+
+    Sort-operand slimming: the (cell, random) pair packs into one u32 key
+    (``_shuffle_keys``), and the cell_id / cell_origin rows are NOT carried
+    as payloads — they are reconstructed from the sorted key + mesh strides
+    (``reconstruct_cell_rows``). ``rand`` may be u32 bits or u01 floats.
     Returns (sorted_particles, sorted_cell, cell_start, is_first)."""
+    n_sd = particles.n_sd
+    keys, num_keys, nbits = _shuffle_keys(
+        particles.cell_id, particles.alive, rand, n_cell
+    )
     rows = (
         [particles.multiplicity]
         + list(particles.extensive)
         + list(particles.maximum)
-        + [particles.cell_id]
-        + list(particles.cell_origin)
         + list(particles.position_in_cell)
     )
-    sorted_rows, sorted_cell, cell_start, is_first = bucket_shuffle_payload(
-        particles.cell_id, particles.alive, u01, n_cell, rows
+    out = jax.lax.sort(keys + tuple(rows), num_keys=num_keys, is_stable=False)
+    sorted_cell = _sorted_cell_of(out[0], num_keys, nbits)
+    sorted_rows = out[num_keys:]
+    cell_start = jnp.searchsorted(
+        sorted_cell, jnp.arange(n_cell + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    offset = jnp.arange(n_sd, dtype=jnp.int32) - cell_start[sorted_cell]
+    same_as_next = jnp.concatenate(
+        [sorted_cell[1:] == sorted_cell[:-1], jnp.zeros((1,), dtype=bool)]
     )
-    sorted_particles = _rebuild_state(particles, sorted_rows)
+    is_first = same_as_next & (offset % 2 == 0) & (sorted_cell < n_cell)
+    sorted_particles = _rebuild_state_slim(particles, sorted_rows)
+    sorted_particles = reconstruct_cell_rows(
+        sorted_particles, sorted_cell, n_cell, mesh
+    )
     return sorted_particles, sorted_cell, cell_start, is_first
 
 
-def sort_state_by_cell(particles, n_cell):
+def sort_state_by_cell(particles, n_cell, mesh=None):
     """stable sort of the whole ParticleState by cell id (dead particles to a
-    trailing bucket), riding all per-particle arrays as payload operands of
+    trailing bucket), riding per-particle arrays as payload operands of
     one ``lax.sort``. Gives cell-segment structure for cumsum-based per-cell
     reductions (condensation env coupling, products) without any scatter.
+    cell_id / cell_origin rows are reconstructed, not carried (see
+    ``bucket_shuffle_state``).
     Returns (sorted_particles, sorted_cell, cell_start)."""
     rows = (
         [particles.multiplicity]
         + list(particles.extensive)
         + list(particles.maximum)
-        + [particles.cell_id]
-        + list(particles.cell_origin)
         + list(particles.position_in_cell)
     )
     key_cell = jnp.where(particles.alive, particles.cell_id, n_cell).astype(
@@ -114,8 +200,33 @@ def sort_state_by_cell(particles, n_cell):
     cell_start = jnp.searchsorted(
         sorted_cell, jnp.arange(n_cell + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    sorted_particles = _rebuild_state(particles, out[1:])
+    sorted_particles = _rebuild_state_slim(particles, out[1:])
+    sorted_particles = reconstruct_cell_rows(
+        sorted_particles, sorted_cell, n_cell, mesh
+    )
     return sorted_particles, sorted_cell, cell_start
+
+
+def _rebuild_state_slim(particles, sorted_rows):
+    """rebuild from rows [mult, ext..., max..., position_in_cell...]
+    (cell_id / cell_origin reconstructed separately)"""
+    n_ext = particles.extensive.shape[0]
+    n_max = particles.maximum.shape[0]
+    n_dim = particles.cell_origin.shape[0]
+    i = 0
+    mult = sorted_rows[i]; i += 1
+    ext = jnp.stack(sorted_rows[i : i + n_ext]) if n_ext else particles.extensive
+    i += n_ext
+    mx = jnp.stack(sorted_rows[i : i + n_max]) if n_max else particles.maximum
+    i += n_max
+    pic = (
+        jnp.stack(sorted_rows[i : i + n_dim])
+        if n_dim
+        else particles.position_in_cell
+    )
+    return particles.replace(
+        multiplicity=mult, extensive=ext, maximum=mx, position_in_cell=pic
+    )
 
 
 def _rebuild_state(particles, sorted_rows):
