@@ -236,3 +236,74 @@ class TestArabasShima2017:
         assert r.max() > 1e-6  # droplet activates
         # downdraft phase brings RH back below saturation
         assert rh[-1] < rh.max()
+
+
+class TestGrabowskiPawlowska2023:
+    @staticmethod
+    @pytest.mark.parametrize("aerosol", ("pristine", "polluted"))
+    def test_activation_and_supersaturation(aerosol):
+        from pysdm_tpu.models.grabowski_and_pawlowska_2023 import (
+            Settings,
+            Simulation,
+        )
+
+        settings = Settings(
+            aerosol=aerosol, vertical_velocity=1.0 * si.m / si.s,
+            dt=2 * si.s, n_sd=32, displacement=100 * si.m,
+        )
+        sim = Simulation(settings)
+        out = sim.run()
+        s_max = np.nanmax(out["products"]["S_max"])  # RH - 1
+        assert 0.0 < s_max < 0.05  # supersaturation peak within sane bounds
+        # polluted aerosol has more/larger CCN -> droplets grow; volume rises
+        v0 = np.asarray(out["attributes"]["volume"][0])
+        v1 = np.asarray(out["attributes"]["volume"][-1])
+        assert v1.sum() > v0.sum()
+        assert np.isfinite(out["products"]["ripening rate"]).all()
+
+
+class TestNiedermeier2014:
+    @staticmethod
+    def test_immersion_freezing_produces_ice():
+        from pysdm_tpu.models.niedermeier_et_al_2014 import (
+            Settings,
+            Simulation,
+        )
+
+        # Constant J_het large enough to freeze the IN mode within the
+        # ascent (the paper's ABIFM illite fit needs colder temperatures
+        # and far longer integrations than a smoke test affords)
+        settings = Settings(
+            formulae=Formulae(
+                seed=44,
+                particle_shape_and_density="MixedPhaseSpheres",
+                heterogeneous_ice_nucleation_rate="Constant",
+                constants={"J_HET": 1e12},
+            ),
+            initial_temperature=250.0 * si.K,
+            timestep=5 * si.s,
+            ccn_sampling_n=5,
+            in_sampling_n=4,
+        )
+        sim = Simulation(settings)
+        out = sim.run()
+        iwc = np.asarray(out["ice water content"])
+        assert iwc[0] == 0.0
+        assert iwc[-1] > 0.0  # immersion freezing produced ice
+        T = np.asarray(out["T"])
+        assert T[-1] < T[0]  # ascent cools the parcel
+
+
+class TestJarugaPawlowska2018:
+    @staticmethod
+    def test_fig2_convergence_point():
+        from pysdm_tpu.models.jaruga_and_pawlowska_2018 import (
+            run_convergence_point,
+        )
+
+        s_max, n_c, ph, sulfate_ppt = run_convergence_point(
+            16, dt=2 * si.s, n_substep=1, output_interval=50 * si.s
+        )
+        assert 0.1 < s_max < 1.0  # % supersaturation (paper fig 2: ~0.24-0.61)
+        assert 4.0 < ph < 6.0  # average cloud-water pH (paper: ~4.7-5.2)
+        assert sulfate_ppt > 0.0  # S(VI) is produced
