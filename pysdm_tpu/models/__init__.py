@@ -22,12 +22,15 @@ from . import (
     bartman_et_al_2021,
     berry_1967,
     dejong_mackay_et_al_2023,
+    bieli_et_al_2022,
     grabowski_and_pawlowska_2023,
     jaruga_and_pawlowska_2018,
+    jensen_and_nugent_2017,
     kreidenweis_et_al_2003,
     lowe_et_al_2019,
     niedermeier_et_al_2014,
     pyrcel,
     shima_et_al_2009,
     shipway_and_hill_2012,
+    yang_et_al_2018,
 )

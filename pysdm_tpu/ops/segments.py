@@ -263,8 +263,12 @@ def sorted_segment_sum(values, cell_start, n_cell):
     """per-cell sum over slots sorted by cell, as a cumsum difference
     (deterministic, no scatter): sum_i = csum[cell_start[i+1]] - csum[cell_start[i]].
     Exact for integer dtypes; for floats the error is that of a length-n
-    cumsum (fine for rate counters; use matmul/one-hot for tighter sums)."""
-    c = jnp.cumsum(values, axis=-1)
+    cumsum (fine for rate counters; use matmul/one-hot for tighter sums).
+    The cumsum is the single-pass Pallas kernel on TPU (7x XLA's
+    reduce-window lowering, ``ops/pallas/scan.py``)."""
+    from .pallas.scan import cumsum as _fast_cumsum
+
+    c = _fast_cumsum(values, axis=-1)
     cpad = jnp.concatenate([jnp.zeros(c.shape[:-1] + (1,), c.dtype), c], axis=-1)
     return cpad[..., cell_start[1 : n_cell + 1]] - cpad[..., cell_start[:n_cell]]
 

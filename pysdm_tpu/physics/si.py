@@ -32,6 +32,7 @@ class _SI:
     second = seconds = s = 1.0
     millisecond = milliseconds = ms = 1e-3
     microsecond = microseconds = us = 1e-6
+    hertz = Hz = 1.0
     minute = minutes = 60.0
     hour = hours = h = 3600.0
     day = days = 86400.0

@@ -392,15 +392,23 @@ class RadiusBinnedNumberAveragedTerminalVelocity(Product):
         return self.shape
 
 
-class _SizeStandardDeviation(MomentProduct):
-    """multiplicity-weighted standard deviation of an attribute
+class _SizeStandardDeviation(MomentProduct, _ActivationFiltered):
+    """multiplicity-weighted standard deviation of an attribute, optionally
+    restricted to (un)activated particles
     (reference ``size_standard_deviation.py``)"""
 
     attr = None
 
-    def __init__(self, radius_range=(0, np.inf), name=None, unit=None):
+    def __init__(self, radius_range=(0, np.inf), name=None, unit=None,
+                 count_activated=None, count_unactivated=None):
         super().__init__(name=name, unit=unit)
         self.radius_range = radius_range
+        self.activation_filtered = count_activated is not None
+        if self.activation_filtered:
+            self._init_activation_filter(
+                count_activated=count_activated,
+                count_unactivated=bool(count_unactivated),
+            )
 
     def register(self, builder):
         super().register(builder)
@@ -410,36 +418,43 @@ class _SizeStandardDeviation(MomentProduct):
         )
 
     def _impl(self, **kwargs):
-        _, m1 = self._download_moment(
-            attr=self.attr, rank=1, filter_range=self.volume_range
-        )
-        _, m2 = self._download_moment(
-            attr=self.attr, rank=2, filter_range=self.volume_range
-        )
+        if self.activation_filtered:
+            _, m1 = self._activation_filtered_moment(attr=self.attr, rank=1)
+            _, m2 = self._activation_filtered_moment(attr=self.attr, rank=2)
+        else:
+            _, m1 = self._download_moment(
+                attr=self.attr, rank=1, filter_range=self.volume_range
+            )
+            _, m2 = self._download_moment(
+                attr=self.attr, rank=2, filter_range=self.volume_range
+            )
         return np.sqrt(np.maximum(m2 - m1**2, 0.0))
 
 
 class RadiusStandardDeviation(_SizeStandardDeviation):
     attr = "radius"
 
-    def __init__(self, radius_range=(0, np.inf), name=None, unit="m"):
-        super().__init__(radius_range=radius_range,
+    def __init__(self, radius_range=(0, np.inf), name=None, unit="m",
+                 **kwargs):
+        super().__init__(radius_range=radius_range, **kwargs,
                          name=name or "radius standard deviation", unit=unit)
 
 
 class AreaStandardDeviation(_SizeStandardDeviation):
     attr = "area"
 
-    def __init__(self, radius_range=(0, np.inf), name=None, unit="m^2"):
-        super().__init__(radius_range=radius_range,
+    def __init__(self, radius_range=(0, np.inf), name=None, unit="m^2",
+                 **kwargs):
+        super().__init__(radius_range=radius_range, **kwargs,
                          name=name or "area standard deviation", unit=unit)
 
 
 class VolumeStandardDeviation(_SizeStandardDeviation):
     attr = "volume"
 
-    def __init__(self, radius_range=(0, np.inf), name=None, unit="m^3"):
-        super().__init__(radius_range=radius_range,
+    def __init__(self, radius_range=(0, np.inf), name=None, unit="m^3",
+                 **kwargs):
+        super().__init__(radius_range=radius_range, **kwargs,
                          name=name or "volume standard deviation", unit=unit)
 
 

@@ -307,3 +307,62 @@ class TestJarugaPawlowska2018:
         assert 0.1 < s_max < 1.0  # % supersaturation (paper fig 2: ~0.24-0.61)
         assert 4.0 < ph < 6.0  # average cloud-water pH (paper: ~4.7-5.2)
         assert sulfate_ppt > 0.0  # S(VI) is produced
+
+
+class TestBieli2022:
+    @staticmethod
+    def test_moments_evolution():
+        from pysdm_tpu.models import bieli_et_al_2022 as m
+
+        settings = m.Settings()
+        settings.n_sd = 2**10
+        settings._steps = [0, 30]
+        out = m.run(settings, coal_eff=settings.coal_effs[2])
+        m0, m1 = np.asarray(out["M0"]), np.asarray(out["M1"])
+        assert m0[-1] < m0[0]  # net coalescence reduces droplet count
+        np.testing.assert_allclose(m1[-1], m1[0], rtol=1e-6)  # volume conserved
+
+
+class TestYang2018:
+    @staticmethod
+    def test_cloud_cycles_activate_and_deactivate():
+        from pysdm_tpu.models.yang_et_al_2018 import Settings, Simulation
+
+        settings = Settings(
+            n_sd=32, total_time=2400.0, dt_max=5.0
+        )
+        settings.n_steps = int(settings.total_time / 5.0)
+        sim = Simulation(settings)
+        out = sim.run()
+        S = np.asarray(out["S"])
+        assert S.max() > 0.0  # initial ascent supersaturates
+        # after t0 the square-wave downdraft brings RH back down
+        i_t0 = np.searchsorted(np.asarray(out["t"]), 1200.0)
+        assert S[i_t0:].min() < S.max()
+        z = np.asarray(out["z"])
+        assert z.max() > 1100.0  # climbed ~600 m from z0=600 m
+        assert z[-1] < z.max()  # oscillation descends again
+        r_act = np.asarray(out["r_act"])
+        assert np.nanmax(r_act) > 1e-6  # droplets activated
+
+
+class TestJensenNugent2017:
+    @staticmethod
+    def test_sc_parcel_activation():
+        from pysdm_tpu.models.jensen_and_nugent_2017 import (
+            Settings,
+            Simulation,
+        )
+
+        settings = Settings(aerosol="pristine", cloud_type="Sc", dt=2.0)
+        sim = Simulation(settings, gccn=True, n_sd_non_gccn=24)
+        # 1200 s of 0.4 m/s ascent lifts the parcel ~480 m past cloud base
+        out = sim.run(n_steps=600, steps_per_output_interval=100)
+        s_max = np.nanmax(out["products"]["S_max"])
+        assert 0.0 < s_max < 0.05  # supersaturation reached, sane magnitude
+        r_act = np.asarray(out["products"]["r_mean_act"])
+        assert np.nanmax(r_act) > 1e-6  # droplets activated
+        # GCCN tail: largest sea-salt particles grow beyond 10 um quickly
+        assert np.asarray(out["attributes"]["radius"][-1]).max() > 10e-6
+        z = np.asarray(out["products"]["z"])
+        assert z[-1] > z[0]  # ascending during the first 300 s
