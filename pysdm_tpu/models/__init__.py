@@ -30,6 +30,7 @@ from . import (
     lowe_et_al_2019,
     niedermeier_et_al_2014,
     pyrcel,
+    seeding,
     shima_et_al_2009,
     shipway_and_hill_2012,
     yang_et_al_2018,

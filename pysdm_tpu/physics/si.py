@@ -27,13 +27,14 @@ class _SI:
     gram = grams = g = 1e-3
     milligram = milligrams = mg = 1e-6
     microgram = micrograms = ug = 1e-9
+    nanogram = nanograms = ng = 1e-12
 
     # time
     second = seconds = s = 1.0
     millisecond = milliseconds = ms = 1e-3
     microsecond = microseconds = us = 1e-6
     hertz = Hz = 1.0
-    minute = minutes = 60.0
+    minute = minutes = min = 60.0
     hour = hours = h = 3600.0
     day = days = 86400.0
 

@@ -366,3 +366,26 @@ class TestJensenNugent2017:
         assert np.asarray(out["attributes"]["radius"][-1]).max() > 10e-6
         z = np.asarray(out["products"]["z"])
         assert z[-1] > z[0]  # ascending during the first 300 s
+
+
+class TestSeeding:
+    @staticmethod
+    def test_seeding_injects_and_rains():
+        from pysdm_tpu.models.seeding import Settings, Simulation
+
+        def injection_rate(time):
+            # inject 1 super-droplet per second within a 100 s window
+            return np.where((time >= 300.0) & (time < 400.0), 1.0, 0.0)
+
+        settings = Settings(
+            super_droplet_injection_rate=injection_rate,
+            formulae=Formulae(seed=44),
+            n_sd_initial=64,
+            n_sd_seeding=16,
+        )
+        sim = Simulation(settings)
+        out = sim.run()
+        sd_count = out["products"]["sd_count"]
+        assert sd_count[0] == 64
+        assert sd_count[-1] > 64  # seeding injected super-droplets
+        assert np.nanmax(out["products"]["r_eff"]) > 1e-6  # droplets grew
