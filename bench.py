@@ -57,6 +57,12 @@ def main():
     ).sample(n_sd)
     particulator = builder.build(attributes)
 
+    mult0 = particulator.attributes["multiplicity"]
+    mass0 = float(
+        (mult0 * particulator.attributes["water mass"]).sum()
+    )
+    count0 = float(mult0.sum())
+
     # warm-up: compile + one step
     particulator.run(1)
     particulator.block_until_ready()
@@ -70,8 +76,14 @@ def main():
     rate = pair_updates / elapsed
 
     # sanity: mass must be conserved and coalescence must have happened
+    # (this validates the TPU-only fused Pallas collision path on device —
+    # CPU tests exercise it in interpret mode only)
     mult = particulator.attributes["multiplicity"]
     assert (mult >= 0).all()
+    mass1 = float((mult * particulator.attributes["water mass"]).sum())
+    count1 = float(mult.sum())
+    assert abs(mass1 - mass0) <= 1e-6 * mass0, (mass0, mass1)
+    assert count1 < count0, "no coalescence happened"
 
     print(
         json.dumps(

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ...impl.attributes import AttributeResolver
 from ...ops import collisions as coll_ops
 from ...ops import segments as seg_ops
+from ...ops.pallas.scan import _use_pallas as _pallas_enabled
 from .coalescence_efficiencies import ConstEc
 from .breakup_efficiencies import ConstEb
 from .breakup_fragmentations import AlwaysN
@@ -188,6 +189,46 @@ class Collision:
                 prob = prob * prob_scale
 
             rand = draw("collision_gamma", k_gam)
+
+            # fused Pallas fast path (TPU, non-adaptive coalescence, one
+            # extensive row, integer multiplicities): probability, gamma
+            # capping and the Shima update in ONE pass over the sorted state
+            # (ops/pallas/collision.py) instead of ~15 materialized arrays
+            use_fused = (
+                not enable_breakup
+                and not adaptive
+                and ext_s.shape[0] == 1
+                and jnp.issubdtype(mult_s.dtype, jnp.integer)
+                and _pallas_enabled()
+            )
+            if use_fused:
+                from ...ops.pallas.collision import fused_coalesce
+
+                norm_ext = jnp.concatenate(
+                    [norm, jnp.zeros((1,), norm.dtype)]
+                )
+                kernnorm = (
+                    kernel_vals.astype(ftype)
+                    * norm_ext[sorted_cell]
+                    * prob_scale
+                )
+                mult_s, ext0, rate, deficit, coal = fused_coalesce(
+                    mult_s, ext_s[0], kernnorm, rand, is_first
+                )
+                ext_s = ext0[None, :]
+                for cname, row in (
+                    ("collision_rate", rate),
+                    ("collision_rate_deficit", deficit),
+                    ("coalescence_rate", coal),
+                ):
+                    counters[cname] = coll_ops.accumulate_counter(
+                        counters[cname], row, cell_start, n_cell
+                    )
+                particles = particles.replace(
+                    multiplicity=mult_s, extensive=ext_s
+                )
+                return particles, counters, key, dt_left
+
             gamma, counters = coll_ops.compute_gamma(
                 prob, rand, mult_s, sorted_cell, is_first, n_cell, counters,
                 cell_start=cell_start,

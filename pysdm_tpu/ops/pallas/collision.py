@@ -1,0 +1,279 @@
+"""Pallas TPU kernel: fused SDM coalescence update.
+
+Fuses the post-shuffle collision pipeline — pair probability, gamma draw
+capping, the Shima-2009 multiplicity-splitting update and per-slot rate
+contributions — into ONE pass over the sorted particle state. The XLA
+formulation materializes ~15 intermediate arrays (pair rolls, 64-bit
+emulation temporaries), costing ~1.1 ms per 2^20 super-droplets on v5e;
+this kernel reads each row once (plus pre-rolled neighbor copies) and
+writes the updated state once.
+
+Design notes:
+- Pair access is made slot-local: every slot receives its neighbors' values
+  via XLA-precomputed roll(+1)/roll(-1) copies, and BOTH pair members
+  recompute the pair's arithmetic redundantly (VPU lanes are free; HBM
+  passes are not). Semantics mirror ``ops/collisions.py``:
+  ``collision_probability`` + ``compute_gamma`` + ``coalesce``.
+- int64 multiplicities are carried as (hi, lo) u32 word pairs; the kernel
+  implements the needed 64-bit ops (compare, add/sub with carry, and
+  small x 64 multiply via 16-bit limbs) on u32 lanes — Mosaic has no
+  64-bit vector path.
+- gamma = min(ceil(prob - rand), floor(mj/mk)) uses the f32-estimate +
+  multiply-compare walk of ``ops.collisions.capped_floor_div`` (no 64-bit
+  divide exists on the VPU either).
+
+Reference semantics: ``collisions_methods.py:45-59`` (coalesce),
+``:522-560`` (compute_gamma); see SURVEY.md §7 delta #4.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+BLOCK_R = 256
+_BLOCK = BLOCK_R * LANES
+
+_TWO32 = 4294967296.0  # python float: a jnp constant would be captured
+# by the kernel closure, which pallas_call rejects
+
+
+def _u64_ge(a_hi, a_lo, b_hi, b_lo):
+    return (a_hi > b_hi) | ((a_hi == b_hi) & (a_lo >= b_lo))
+
+
+def _u64_sub(a_hi, a_lo, b_hi, b_lo):
+    lo = a_lo - b_lo
+    borrow = (a_lo < b_lo).astype(jnp.uint32)
+    hi = a_hi - b_hi - borrow
+    return hi, lo
+
+
+def _u64_add(a_hi, a_lo, b_hi, b_lo):
+    lo = a_lo + b_lo
+    carry = (lo < a_lo).astype(jnp.uint32)
+    hi = a_hi + b_hi + carry
+    return hi, lo
+
+
+def _u32_mul_wide(a, b):
+    """full 32x32 -> 64-bit product via 16-bit limbs (no vector mulhi)"""
+    mask = jnp.uint32(0xFFFF)
+    a0, a1 = a & mask, a >> 16
+    b0, b1 = b & mask, b >> 16
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> 16) + (p01 & mask) + (p10 & mask)
+    lo = (p00 & mask) | (mid << 16)
+    hi = p11 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
+    return hi, lo
+
+
+def _u64_mul_u32(g, b_hi, b_lo):
+    """g (u32) * 64-bit (b_hi, b_lo); result taken mod 2^64 (callers
+    guarantee g*b <= mj < 2^63)"""
+    hi, lo = _u32_mul_wide(g, b_lo)
+    hi = hi + g * b_hi  # wrap-around fine within the guarantee
+    return hi, lo
+
+
+def _u32_to_f32(x):
+    """Mosaic has no u32->f32 cast: go through i32 on halves (x>>1 < 2^31)"""
+    return (
+        (x >> 1).astype(jnp.int32).astype(jnp.float32) * 2.0
+        + (x & jnp.uint32(1)).astype(jnp.int32).astype(jnp.float32)
+    )
+
+
+def _u64_to_f32(hi, lo):
+    return _u32_to_f32(hi) * _TWO32 + _u32_to_f32(lo)
+
+
+def _u64_half(hi, lo):
+    return hi >> 1, (lo >> 1) | (hi << 31)
+
+
+def _coalesce_kernel(
+    # inputs (all (BLOCK_R, LANES)):
+    mhi_ref, mlo_ref,          # own multiplicity words
+    mhi_nx_ref, mlo_nx_ref,    # partner-if-leader (roll -1)
+    mhi_pv_ref, mlo_pv_ref,    # partner-if-trailer (roll +1)
+    ext_ref, ext_nx_ref, ext_pv_ref,   # one extensive row (stacked outside)
+    kn_ref,                    # kernel value x norm x prob_scale at leader
+    kn_pv_ref,                 # same, roll +1 (the pair's leader slot)
+    rand_ref, rand_pv_ref,     # gamma u01 at leader slot (and rolled)
+    isf_ref, isf_pv_ref,       # is_first, is_first_prev (int32 0/1)
+    # outputs:
+    mhi_out_ref, mlo_out_ref, ext_out_ref,
+    rate_ref, deficit_ref, coal_ref,
+):
+    one = jnp.uint32(1)
+    isf = isf_ref[...] != 0
+    isf_pv = isf_pv_ref[...] != 0
+
+    # select this slot's pair orientation: leader pairs with next,
+    # trailer with prev; untouched slots keep their values
+    a_hi, a_lo = mhi_ref[...], mlo_ref[...]
+    lead_bhi, lead_blo = mhi_nx_ref[...], mlo_nx_ref[...]
+    trail_bhi, trail_blo = mhi_pv_ref[...], mlo_pv_ref[...]
+    b_hi = jnp.where(isf, lead_bhi, trail_bhi)
+    b_lo = jnp.where(isf, lead_blo, trail_blo)
+    in_pair = isf | isf_pv
+
+    # j = not-smaller multiplicity, k = the other; ties go to the pair
+    # LEADER (reference ``coalesce``: j_is_a with a = leader slot), so a
+    # trailer is j only on strict inequality
+    # (boolean select via logical ops: Mosaic cannot lower select_n on i1)
+    a_is_j = (isf & _u64_ge(a_hi, a_lo, b_hi, b_lo)) | (
+        (~isf) & (~_u64_ge(b_hi, b_lo, a_hi, a_lo))
+    )
+    mj_hi = jnp.where(a_is_j, a_hi, b_hi)
+    mj_lo = jnp.where(a_is_j, a_lo, b_lo)
+    mk_hi = jnp.where(a_is_j, b_hi, a_hi)
+    mk_lo = jnp.where(a_is_j, b_lo, a_lo)
+    # guard mk >= 1 for the division estimate (dead partners have mult 0)
+    mk1_lo = jnp.where((mk_hi == 0) & (mk_lo == 0), one, mk_lo)
+
+    # pair probability and raw gamma (f32): prob = max_mult * K * norm
+    kn = jnp.where(isf, kn_ref[...], kn_pv_ref[...])
+    rand = jnp.where(isf, rand_ref[...], rand_pv_ref[...])
+    prob = _u64_to_f32(mj_hi, mj_lo) * kn
+    gamma_f = jnp.maximum(jnp.ceil(prob - rand), 0.0)
+    gamma_f = jnp.where(in_pair, gamma_f, 0.0)
+
+    # gamma = min(gamma_f, floor(mj/mk)): f32 estimate + exact walk
+    q_est = jnp.floor(
+        _u64_to_f32(mj_hi, mj_lo) / _u64_to_f32(mk_hi, mk1_lo)
+    )
+    # f32 -> u32 via i32 (values are capped far below 2^31; Mosaic has no
+    # direct f32->u32 cast). Clamp to the i32-exact range first.
+    big = jnp.float32(2**31 - 128)
+    g_f = jnp.clip(jnp.minimum(q_est, gamma_f), 0.0, big)
+    g = g_f.astype(jnp.int32).astype(jnp.uint32)
+    cap = jnp.clip(gamma_f, 0.0, big).astype(jnp.int32).astype(jnp.uint32)
+    for _ in range(5):
+        p_hi, p_lo = _u64_mul_u32(g, mk_hi, mk1_lo)
+        too_big = ~_u64_ge(mj_hi, mj_lo, p_hi, p_lo)  # g*mk > mj
+        g = jnp.where(too_big, g - 1, g)
+    for _ in range(5):
+        p_hi, p_lo = _u64_mul_u32(g + 1, mk_hi, mk1_lo)
+        fits = _u64_ge(mj_hi, mj_lo, p_hi, p_lo) & (g + 1 <= cap)
+        g = jnp.where(fits, g + 1, g)
+    g = jnp.where(in_pair, g, jnp.uint32(0))
+    gf = _u32_to_f32(g)
+
+    # Shima update: xi_j -= gamma*xi_k; extensive_k += gamma*extensive_j;
+    # j exhausted (new_n == 0) -> split k's multiplicity in half
+    gmk_hi, gmk_lo = _u64_mul_u32(g, mk_hi, mk_lo)
+    nn_hi, nn_lo = _u64_sub(mj_hi, mj_lo, gmk_hi, gmk_lo)
+    split = in_pair & (nn_hi == 0) & (nn_lo == 0) & (g > 0)
+    h_hi, h_lo = _u64_half(mk_hi, mk_lo)       # floor(mk/2)
+    r_hi, r_lo = _u64_sub(mk_hi, mk_lo, h_hi, h_lo)  # mk - floor(mk/2)
+    mj_new_hi = jnp.where(split, h_hi, nn_hi)
+    mj_new_lo = jnp.where(split, h_lo, nn_lo)
+    mk_new_hi = jnp.where(split, r_hi, mk_hi)
+    mk_new_lo = jnp.where(split, r_lo, mk_lo)
+    i_am_j = in_pair & a_is_j
+    out_hi = jnp.where(
+        in_pair,
+        jnp.where(i_am_j, mj_new_hi, mk_new_hi),
+        a_hi,
+    )
+    out_lo = jnp.where(
+        in_pair,
+        jnp.where(i_am_j, mj_new_lo, mk_new_lo),
+        a_lo,
+    )
+    mhi_out_ref[...] = out_hi
+    mlo_out_ref[...] = out_lo
+
+    # extensive row: ek_merged = ek + gamma * ej; split -> both get merged
+    e_own = ext_ref[...]
+    e_other = jnp.where(isf, ext_nx_ref[...], ext_pv_ref[...])
+    ej = jnp.where(i_am_j, e_own, e_other)
+    ek_merged = jnp.where(i_am_j, e_other, e_own) + gf * ej
+    e_new = jnp.where(
+        i_am_j,
+        jnp.where(split, ek_merged, ej),  # j keeps ej unless split
+        ek_merged,
+    )
+    ext_out_ref[...] = jnp.where(in_pair, e_new, e_own)
+
+    # per-slot rate contributions at leader slots only (segment-summed by
+    # the caller; reference atomic counters -> deterministic sums)
+    mk_f = _u64_to_f32(mk_hi, mk_lo)
+    lead = isf
+    rate_ref[...] = jnp.where(lead, gf * mk_f, 0.0)
+    deficit_ref[...] = jnp.where(lead, (gamma_f - gf) * mk_f, 0.0)
+    coal_ref[...] = jnp.where(lead, gf * mk_f, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_coalesce(
+    mult, ext_row, kernnorm, rand, is_first, interpret=False
+):
+    """fused probability->gamma->coalesce for int64 multiplicities and ONE
+    extensive row. All arrays are (n,) in sorted-slot order; ``kernnorm`` is
+    kernel_value * norm_factor[cell] * prob_scale (valid at leader slots).
+    Returns (mult_new i64, ext_new, rate, deficit, coal) with the rate rows
+    per-slot (callers segment-sum them)."""
+    n = mult.shape[0]
+    n_pad = -(-n // _BLOCK) * _BLOCK
+    pad = n_pad - n
+
+    words = jax.lax.bitcast_convert_type(mult, jnp.uint32)  # (n, 2)
+    # bitcast word order follows host endianness; probe with numpy
+    hi_static = int(np.argmax(np.array([2**32], np.int64).view(np.uint32)))
+    m_hi = words[:, hi_static]
+    m_lo = words[:, 1 - hi_static]
+
+    def prep(x, fill=0):
+        x = jnp.pad(x, (0, pad), constant_values=fill) if pad else x
+        return x.reshape(n_pad // LANES, LANES)
+
+    isf_i = is_first.astype(jnp.int32)
+    rolled = lambda x, s, fill=0: prep(jnp.roll(x, s), fill)
+    args = (
+        prep(m_hi), prep(m_lo),
+        rolled(m_hi, -1), rolled(m_lo, -1),
+        rolled(m_hi, 1), rolled(m_lo, 1),
+        prep(ext_row), rolled(ext_row, -1), rolled(ext_row, 1),
+        prep(kernnorm), rolled(kernnorm, 1),
+        prep(rand), rolled(rand, 1),
+        prep(isf_i), rolled(isf_i, 1),
+    )
+    grid = n_pad // _BLOCK
+    spec = pl.BlockSpec(
+        (BLOCK_R, LANES), lambda i: (i, i * 0), memory_space=pltpu.VMEM
+    )
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        _coalesce_kernel,
+        grid=(grid,),
+        in_specs=[spec] * len(args),
+        out_specs=[spec] * 6,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), ext_row.dtype),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), f32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), f32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), f32),
+        ],
+        interpret=interpret,
+    )(*args)
+    flat = [o.reshape(n_pad)[:n] for o in out]
+    pair = (
+        jnp.stack([flat[0], flat[1]], axis=-1)
+        if hi_static == 0
+        else jnp.stack([flat[1], flat[0]], axis=-1)
+    )
+    mult_new = jax.lax.bitcast_convert_type(pair, mult.dtype)
+    return (mult_new, flat[2], flat[3], flat[4], flat[5])
