@@ -12,6 +12,11 @@ Freezing box:              alpert_and_knopf_2016
 1D kinematic column:       shipway_and_hill_2012
 2D kinematic warm rain:    arabas_et_al_2015 (flagship)
 Benchmark harness:         bartman_et_al_2021
+Isotope formula studies:   isotopes, isotope_papers (Bolin 1958, Miyake 1968,
+                           Stewart 1975, Pruppacher & Rasmussen 1979,
+                           Fisher 1991, Bolot 2013, Lamb 2017, Graf 2019,
+                           Toon 1980, Zaba et al., Kinzer & Gunn 1951,
+                           Pierchala 2022)
 """
 
 from . import (
@@ -24,6 +29,7 @@ from . import (
     dejong_mackay_et_al_2023,
     bieli_et_al_2022,
     grabowski_and_pawlowska_2023,
+    isotope_papers,
     jaruga_and_pawlowska_2018,
     jensen_and_nugent_2017,
     kreidenweis_et_al_2003,

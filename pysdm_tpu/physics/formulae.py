@@ -59,6 +59,26 @@ def _partial_const(fn, const):
     return bound
 
 
+def _bind_composed(variant_classes, const, variant_name):
+    """bind a '+'-composition of variant classes (reference ``formulae.py:336-372``
+    ``_pick`` builds ``class Cls(*parent_classes)``): the composed namespace
+    carries the union of the parts' formulae; on a method-name collision the
+    earliest listed variant wins, matching Python MRO in the reference"""
+    ns = SimpleNamespace()
+    seen = set()
+    for cls in variant_classes:
+        for name in dir(cls):
+            if name.startswith("_") or name in seen:
+                continue
+            fn = getattr(cls, name)
+            if not callable(fn):
+                continue
+            seen.add(name)
+            setattr(ns, name, _partial_const(fn, const))
+    ns.variant = variant_name
+    return ns
+
+
 _NULL_VARIANTS = {"Null": Null}
 
 # family name -> (variants dict, default variant name) — defaults match the
@@ -200,13 +220,23 @@ class Formulae:
 
         for family, (variants, default) in _FAMILIES.items():
             name = variant_choices.get(family, default)
-            if name not in variants:
+            if name in variants:
+                bound = _bind(variants[name], self.constants, name)
+            elif "+" in name and all(
+                part in variants for part in name.split("+")
+            ):
+                bound = _bind_composed(
+                    [variants[part] for part in name.split("+")],
+                    self.constants,
+                    name,
+                )
+            else:
                 raise ValueError(
                     f"unknown variant {name!r} for family {family!r};"
                     f" known: {sorted(variants)}"
                 )
             self._variant_names[family] = name
-            setattr(self, family, _bind(variants[name], self.constants, name))
+            setattr(self, family, bound)
 
     def __str__(self):
         return "Formulae(" + ", ".join(
