@@ -28,6 +28,7 @@ from . import (
     berry_1967,
     dejong_mackay_et_al_2023,
     bieli_et_al_2022,
+    dejong_azimi,
     grabowski_and_pawlowska_2023,
     isotope_papers,
     jaruga_and_pawlowska_2018,
@@ -39,5 +40,7 @@ from . import (
     seeding,
     shima_et_al_2009,
     shipway_and_hill_2012,
+    srivastava_1982,
+    thesis_benchmarks,
     yang_et_al_2018,
 )
