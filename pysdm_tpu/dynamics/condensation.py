@@ -112,7 +112,9 @@ class Condensation:
                 "vdry": particles.ext("dry volume"),
                 "kappa": resolver.get(particles, "kappa"),
                 "f_org": resolver.get(particles, "dry volume organic fraction"),
-                "reynolds_number": resolver.get(particles, "Reynolds number"),
+                "reynolds_number": resolver.get(
+                    particles, "Reynolds number", env=env
+                ),
                 "v_cr": resolver.get(particles, "critical volume", env=env),
             }
             water_mass, pthd, pqv, n_substeps, RH_max, success, events = solver(

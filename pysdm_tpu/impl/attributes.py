@@ -88,9 +88,26 @@ class AttributeResolver:
                 return state.ext("dry volume organic") / state.ext("dry volume")
             return jnp.zeros_like(state.ext("signed water mass"))
         if name == "Reynolds number":
-            # full Re (terminal velocity x air density/viscosity) matters only
-            # with non-Neglect ventilation; zeros otherwise (vent coeff -> 1)
-            return jnp.zeros_like(state.ext("signed water mass"))
+            # Re = 2 r rho_air |v_rel| / eta_air, from the relative fall
+            # velocity and the cell's air density/viscosity (reference
+            # ``attributes/physics/reynolds_number.py:8-34`` +
+            # ``impl_numba/methods/physics_methods.py`` reynolds_number).
+            # The reference registers a zeros DummyAttribute when
+            # ventilation == Neglect (the coefficient is then 1 regardless);
+            # mirror that, and also fall back to zeros when the env carries
+            # no air density/viscosity fields (e.g. plain Box).
+            if (
+                f.ventilation.variant == "Neglect"
+                or env is None
+                or "air_density" not in env
+            ):
+                return jnp.zeros_like(state.ext("signed water mass"))
+            return f.particle_shape_and_density.reynolds_number(
+                radius=self.get(state, "radius"),
+                velocity_wrt_air=self.get(state, "relative fall velocity"),
+                dynamic_viscosity=env["air_viscosity"][state.cell_id],
+                density=env["air_density"][state.cell_id],
+            )
         if name in (
             "critical volume",
             "critical volume neglecting temperature variations",
@@ -186,6 +203,10 @@ class AttributeResolver:
             from ..dynamics.terminal_velocity import gunn_kinzer_v_term
 
             return gunn_kinzer_v_term(f.constants, radius)
+        if variant == "PowerSeries":
+            from ..dynamics.terminal_velocity import PowerSeries
+
+            return PowerSeries()(radius)
         if hasattr(f.terminal_velocity, "v_term"):
             return f.terminal_velocity.v_term(radius)
         raise NotImplementedError(f"terminal velocity variant {variant}")

@@ -29,25 +29,33 @@ from .shipway_and_hill_2012 import Settings as SettingsSH
 
 
 class Settings0D:
-    """reference ``deJong_Azimi/cloudy_data_0d.py`` setup: exponential
-    spectrum, Golovin kernel, moment tracking"""
+    """reference ``deJong_Azimi/box.ipynb`` Settings0D — the Cloudy.jl
+    MOM-comparison setup (``cloudy_data_0d.py``): Gamma(k=1, theta=1e5 um^3)
+    spectrum at 100/cm^3, Golovin b=5e3/s, moments at t = 0/60/120 s"""
 
-    def __init__(self, *, n_sd=2**13, dt=1 * si.s, seed=44):
+    def __init__(self, *, kernel=None, steps=(0, 60, 120), n_sd=2**12,
+                 dt=1 * si.s, seed=44, radius_bins_edges=None):
         self.n_sd = n_sd
+        self.n_part = 100 / si.cm**3
         self.dt = dt
         self.dv = 1 * si.m**3
+        self.rho = 1000 * si.kg / si.m**3
         self.rhod = 1 * si.kg / si.m**3
-        self.formulae = Formulae(seed=seed)
-        self.kernel = Golovin(b=1.5e3 / si.s)
+        self.formulae = Formulae(terminal_velocity="PowerSeries", seed=seed)
+        self.kernel = kernel or Golovin(b=5e3 / si.s)
         self.coal_eff = ConstEc(1.0)
         self.adaptive = True
-        self.steps = (0, 30, 60)
-        self.radius_bins_edges = np.logspace(
-            np.log10(10 * si.um), np.log10(5e3 * si.um), num=64, endpoint=True
+        self.steps = steps
+        self.radius_bins_edges = (
+            radius_bins_edges
+            if radius_bins_edges is not None
+            else np.logspace(
+                np.log10(8.0 * si.um), np.log10(5e3 * si.um),
+                num=64, endpoint=True,
+            )
         )
-        x_0 = self.formulae.trivia.volume(radius=30.531 * si.um)
-        self.spectrum = spectra.Exponential(
-            norm_factor=2**23 / self.dv * self.dv, scale=x_0
+        self.spectrum = spectra.Gamma(
+            norm_factor=self.n_part * self.dv, k=1.0, theta=1e5 * si.um**3
         )
 
 
@@ -100,7 +108,8 @@ def run_box(settings, backend_class=CPU):
 
 class Settings1D(SettingsSH):
     """reference ``deJong_Azimi/settings1D.py``: Shipway & Hill 2012 column
-    with condensation off and collisions via a Golovin kernel"""
+    with condensation disabled, Golovin(b=5e3) collisions, and a wet
+    Gamma(k=1, theta=1e5 um^3) spectrum seeded in the z_part band"""
 
     def __init__(
         self,
@@ -111,6 +120,7 @@ class Settings1D(SettingsSH):
         z_max=3000 * si.m,
         t_max=60 * si.minutes,
         precip=True,
+        z_part=(0.5, 0.75),
         seed=44,
     ):
         super().__init__(
@@ -121,6 +131,18 @@ class Settings1D(SettingsSH):
             z_max=z_max,
             t_max=t_max,
             precip=precip,
-            collision_kernel=Golovin(b=1.5e3 / si.s),
+            collision_kernel=Golovin(b=5e3 / si.s),
+            enable_condensation=False,
+            z_part=z_part,
+            formulae=Formulae(terminal_velocity="PowerSeries", seed=seed),
             seed=seed,
+        )
+        self.z_part = z_part
+        z_frac = z_part[1] - z_part[0]
+        self.wet_radius_spectrum_per_mass_of_dry_air = spectra.Gamma(
+            norm_factor=(
+                (100 / si.cm**3) / self.formulae.constants.rho_STP * z_frac
+            ),
+            k=1.0,
+            theta=1e5 * si.um**3,
         )

@@ -500,6 +500,10 @@ def pierchala_et_al_2022_excess_17O(
     alpha_l_18O = float(
         formulae.isotope_equilibrium_fractionation_factors.alpha_l_18O(T)
     )
+    # per-isotope turbulence parameter n (Pierchala 2022 TABLE 2 — reference
+    # ``Pierchala_et_al_2022/commons.py``; deltas are relative to the
+    # initial liquid, not VSMOW)
+    turbulence_n = {"2H": 0.90, "18O": 0.956, "17O": 0.958}
     for iso in ("18O", "17O"):
         if iso == "18O":
             alpha_eq = alpha_l_18O
@@ -518,7 +522,7 @@ def pierchala_et_al_2022_excess_17O(
         alpha_kin = float(
             formulae.isotope_kinetic_fractionation_factors.alpha_kinetic(
                 relative_humidity=relative_humidity,
-                turbulence_parameter_n=0.5,  # pan evaporation (Pierchala 2022)
+                turbulence_parameter_n=turbulence_n[iso],
                 delta_diff=1.0 / d_ratio - 1.0,
                 theta=1.0,
             )

@@ -51,6 +51,8 @@ class Settings:
         precip=True,
         formulae=None,
         collision_kernel=None,
+        enable_condensation=True,
+        z_part=None,
         seed=44,
     ):
         self.formulae = formulae or Formulae(seed=seed)
@@ -65,6 +67,8 @@ class Settings:
         self.precip = precip
         self.z_max = z_max
         self.t_max = t_max
+        self.enable_condensation = enable_condensation
+        self.z_part = z_part
         self.seed = seed
         self.collision_kernel = collision_kernel or Geometric(
             collection_efficiency=1
@@ -160,7 +164,8 @@ class Simulation:
             environment=env,
         )
         builder.add_dynamic(AmbientThermodynamics())
-        builder.add_dynamic(Condensation(adaptive=True))
+        if settings.enable_condensation:
+            builder.add_dynamic(Condensation(adaptive=True))
         builder.add_dynamic(EulerianAdvection(mpdata))
         builder.add_dynamic(
             Coalescence(
@@ -179,6 +184,8 @@ class Simulation:
                 settings.wet_radius_spectrum_per_mass_of_dry_air
             ),
             kappa=settings.kappa,
+            collisions_only=not settings.enable_condensation,
+            z_part=settings.z_part,
             seed=settings.seed,
         )
         products = products or (
@@ -187,7 +194,11 @@ class Simulation:
             WaterMixingRatio(name="qc", radius_range=(1 * si.um, np.inf)),
             CloudWaterContent(name="cwc"),
             EffectiveRadius(name="reff", radius_range=(1 * si.um, np.inf)),
-            PeakSupersaturation(name="S_max"),
+            *(
+                (PeakSupersaturation(name="S_max"),)
+                if settings.enable_condensation
+                else ()
+            ),
             SurfacePrecipitation(name="surf_precip"),
         )
         self.particulator = builder.build(attributes, products=products)

@@ -105,7 +105,7 @@ def _make_host_step(particulator, condensation_dynamic):
             dtype=float,
         )
         reynolds = np.asarray(
-            resolver.get(particles, "Reynolds number"), dtype=float
+            resolver.get(particles, "Reynolds number", env=env), dtype=float
         )
 
         thd = float(np.asarray(env["thd"])[0])

@@ -16,11 +16,20 @@ def test_dejong_azimi_box_moments():
     np.testing.assert_allclose(m1, m1[0], rtol=1e-6)
     assert (np.diff(m1 / m0) > 0).all()
     assert out.dv_dlnr.shape == (3, 63)
+    # parity with the Cloudy.jl MOM comparison data (reference
+    # ``deJong_Azimi/cloudy_data_0d.py`` analytic Golovin M0 at t=0/60/120 s,
+    # in 1/m^3 for the 100/cm^3 Gamma spectrum):
+    analytic_m0 = np.array([100.0, 4.863406413211965, 0.23652721940076313])
+    analytic_m0 *= 1e6  # 1/cm^3 -> 1/m^3
+    np.testing.assert_allclose(m0[0], analytic_m0[0], rtol=0.02)
+    np.testing.assert_allclose(m0[1:], analytic_m0[1:], rtol=0.5)
 
 
 def test_dejong_azimi_settings_1d():
     settings = dejong_azimi.Settings1D(n_sd_per_gridbox=16, z_max=500 * si.m)
-    assert settings.collision_kernel.b == 1.5e3
+    assert settings.collision_kernel.b == 5e3
+    assert settings.enable_condensation is False
+    assert settings.z_part == (0.5, 0.75)
     assert settings.nz == 20
 
 

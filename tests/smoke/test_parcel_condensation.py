@@ -14,8 +14,8 @@ from pysdm_tpu.initialisation.spectra import Lognormal
 
 
 def run_parcel(*, w=2.0, n_steps=1000, n_sd=64, qv0=0.0158, T0=300.0,
-               p0=1000e2, n_cc=1e8, adaptive=True, dt=1.0):
-    formulae = Formulae(seed=44)
+               p0=1000e2, n_cc=1e8, adaptive=True, dt=1.0, **formulae_kwargs):
+    formulae = Formulae(seed=44, **formulae_kwargs)
     env = Parcel(
         dt=dt, mass_of_dry_air=1e3, p0=p0,
         initial_water_vapour_mixing_ratio=qv0, T0=T0, w=w,
@@ -117,3 +117,80 @@ class TestEquilibrateWetRadii:
             formulae.hygroscopicity.RH_eq(r_wet, T, kappa, r_dry**3, sgm)
         )
         np.testing.assert_allclose(RH_eq, RH, rtol=1e-4)
+
+
+class TestVentilation:
+    """Reynolds-number attribute + ventilation coefficient (reference
+    ``attributes/physics/reynolds_number.py:8-34`` — Re computed from
+    relative fall velocity and ambient air density/viscosity whenever
+    ventilation != Neglect)."""
+
+    @staticmethod
+    def test_reynolds_number_matches_hand_computed():
+        p = run_parcel(n_steps=600, ventilation="Froessling1938")
+        resolver = p._resolver
+        particles = p.sim_state["particles"]
+        env = p.sim_state["env"]
+        re = np.asarray(
+            resolver.get(particles, "Reynolds number", env=env), dtype=float
+        )
+        radius = np.asarray(p.attributes["radius"], dtype=float)
+        v_term = np.asarray(
+            resolver.get(particles, "relative fall velocity"), dtype=float
+        )
+        cell = np.asarray(particles.cell_id)
+        rho_air = np.asarray(env["air_density"], dtype=float)[cell]
+        eta_air = np.asarray(env["air_viscosity"], dtype=float)[cell]
+        expected = 2 * radius * v_term * rho_air / eta_air
+        assert (re > 0).all()
+        np.testing.assert_allclose(re, expected, rtol=1e-6)
+
+    @staticmethod
+    def test_reynolds_number_zero_when_neglect():
+        p = run_parcel(n_steps=10)  # default ventilation == Neglect
+        re = np.asarray(
+            p._resolver.get(
+                p.sim_state["particles"], "Reynolds number",
+                env=p.sim_state["env"],
+            )
+        )
+        assert (re == 0).all()
+
+    @staticmethod
+    def test_froessling_differs_from_neglect():
+        """with ventilation on, droplet growth is measurably faster and the
+        coefficient matches 1 + 0.276 sqrt(Re) cbrt(Sc) hand-computed"""
+        p_vent = run_parcel(n_steps=600, ventilation="Froessling1938")
+        p_negl = run_parcel(n_steps=600)
+        r_vent = float(np.mean(np.asarray(p_vent.attributes["radius"])))
+        r_negl = float(np.mean(np.asarray(p_negl.attributes["radius"])))
+        assert r_vent != r_negl
+
+        formulae = p_vent.formulae
+        particles = p_vent.sim_state["particles"]
+        env = p_vent.sim_state["env"]
+        re = np.asarray(
+            p_vent._resolver.get(particles, "Reynolds number", env=env),
+            dtype=float,
+        )
+        cell = np.asarray(particles.cell_id)
+        T = np.asarray(env["T"], dtype=float)[cell]
+        p_amb = np.asarray(env["p"], dtype=float)[cell]
+        rho_air = np.asarray(env["air_density"], dtype=float)[cell]
+        eta_air = np.asarray(env["air_viscosity"], dtype=float)[cell]
+        D = np.asarray(formulae.diffusion_thermics.D(T, p_amb), dtype=float)
+        Sc = np.asarray(
+            formulae.trivia.air_schmidt_number(
+                dynamic_viscosity=eta_air, diffusivity=D, density=rho_air
+            ),
+            dtype=float,
+        )
+        vent = np.asarray(
+            formulae.ventilation.ventilation_coefficient(
+                sqrt_re_times_cbrt_sc=np.sqrt(re) * np.cbrt(Sc)
+            ),
+            dtype=float,
+        )
+        expected = 1.0 + 0.276 * np.sqrt(re) * np.cbrt(Sc)
+        np.testing.assert_allclose(vent, expected, rtol=1e-6)
+        assert (vent > 1.0).all()
