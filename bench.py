@@ -1,35 +1,56 @@
-"""Benchmark: SDM collisional-coalescence throughput on the available device.
+"""Benchmark: SDM throughput on the available device. Prints exactly ONE
+JSON line — always, even when the device is wedged (see Resilience below).
 
-Setup: 0D box, Golovin kernel, exponential spectrum (the reference's headline
-box case — ``examples/PySDM_examples/Shima_et_al_2009/example.py`` scaled up),
-float32 compute / int64 multiplicities (the TPU production dtype policy).
+Configs measured (per BASELINE.json):
 
-Metric: super-droplet pair-updates per second — candidate pairs processed per
-wall second (n_sd/2 pairs per substep x substeps x steps / time), the
-BASELINE.json north-star per-chip unit. ``vs_baseline`` divides by an estimate
-of the reference's multi-threaded Numba CPU backend on the same case
-(~2e7 pair-updates/s; the reference publishes no absolute numbers — see
-BASELINE.md — and cannot run here since numba is not installed).
+1. 0D box, Golovin kernel, exponential spectrum, 2^20 SDs, 100 steps
+   (the reference's headline box case — scaled-up
+   ``examples/PySDM_examples/Shima_et_al_2009/example.py:50-57``).
+   Primary metric: super-droplet pair-updates/s (n_sd/2 x steps / wall s).
+   On TPU this exercises the fused Pallas coalesce path; the same case is
+   re-run with ``PYSDM_TPU_NO_PALLAS=1`` to record the measured
+   Pallas-vs-XLA delta and to cross-check the two paths agree (same RNG
+   stream -> same collision outcomes up to f32 rounding).
+2. 2D kinematic warm-rain (Arabas et al. 2015), 25x25 grid, full physics
+   (condensation + MPDATA + displacement/sedimentation + coalescence) —
+   the north-star config (reference
+   ``examples/PySDM_examples/Arabas_et_al_2015/example_benchmark.py:26-66``;
+   the reference harness runs 100 steps at 2^14..2^15 SDs/gridbox with
+   condensation off; here: 2^12 SDs/gridbox = 2.56M SDs, condensation on).
+   Metrics: grid-points/s and pair-updates/s (reported in "extra").
 
-Perf notes (TPU v5e, 2^20 SDs): one variadic ``lax.sort`` carries the whole
-particle state as payload operands (gathers/scatters are the slow path on
-TPU), per-cell reductions are cumsum differences, rate counters accumulate in
-f32 — ~4.8 ms/step = ~1.1e8 pair-updates/s (vs 338 ms/step for the naive
-gather/scatter/segment_sum formulation).
+``vs_baseline`` divides by an estimate of the reference's multi-threaded
+Numba CPU backend on the box case (~2e7 pair-updates/s; the reference
+publishes no absolute numbers — see BASELINE.md — and cannot run here
+since numba is not installed).
 
-Prints exactly one JSON line.
+Resilience (round-2 lesson: the TPU tunnel can be wedged — BENCH_r02 died
+with FAILED_PRECONDITION on the first device op, and device attach has
+been observed to take ~270 s): the parent process re-execs itself as a
+``--child`` under a generous timeout, retries once, then degrades to the
+XLA path (no Pallas), then to CPU, and finally emits an error JSON line
+rather than nothing.
+
+Measured numbers are recorded in BENCH_r*.json at the repo root.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import numpy as np
 
 
 REFERENCE_PAIR_UPDATES_PER_S = 2.0e7  # estimated PySDM Numba CPU backend
 
+BOX_N_SD = 2**20
+BOX_N_STEPS = 100
+WR_GRID = (25, 25)
+WR_N_SD_PER_GRIDBOX = 2**12
+WR_N_STEPS = 30
 
-def main():
+
+def _build_box(n_sd):
     from pysdm_tpu import Builder, Formulae
     from pysdm_tpu.backends import TPU
     from pysdm_tpu.dynamics import Coalescence
@@ -41,8 +62,6 @@ def main():
     from pysdm_tpu.initialisation.spectra import Exponential
     from pysdm_tpu.physics import si
 
-    n_sd = 2**20
-    n_steps = 100
     formulae = Formulae(seed=44)
     env = Box(dv=1e6 * si.m**3, dt=1.0 * si.s)
     builder = Builder(n_sd=n_sd, backend=TPU(formulae), environment=env)
@@ -55,16 +74,17 @@ def main():
     attributes["volume"], attributes["multiplicity"] = ConstantMultiplicity(
         spectrum
     ).sample(n_sd)
-    particulator = builder.build(attributes)
+    return builder.build(attributes)
 
+
+def _bench_box(n_sd, n_steps):
+    """returns (pair_updates_per_s, final_count, final_mass)"""
+    particulator = _build_box(n_sd)
     mult0 = particulator.attributes["multiplicity"]
-    mass0 = float(
-        (mult0 * particulator.attributes["water mass"]).sum()
-    )
+    mass0 = float((mult0 * particulator.attributes["water mass"]).sum())
     count0 = float(mult0.sum())
 
-    # warm-up: compile + one step
-    particulator.run(1)
+    particulator.run(1)  # compile + warm up
     particulator.block_until_ready()
 
     t0 = time.perf_counter()
@@ -72,18 +92,89 @@ def main():
     particulator.block_until_ready()
     elapsed = time.perf_counter() - t0
 
-    pair_updates = n_sd / 2 * n_steps
-    rate = pair_updates / elapsed
-
-    # sanity: mass must be conserved and coalescence must have happened
-    # (this validates the TPU-only fused Pallas collision path on device —
-    # CPU tests exercise it in interpret mode only)
+    # sanity: mass conserved, coalescence happened (validates the collision
+    # path on the actual device — CPU tests run Pallas in interpret mode)
     mult = particulator.attributes["multiplicity"]
-    assert (mult >= 0).all()
+    assert bool((mult >= 0).all())
     mass1 = float((mult * particulator.attributes["water mass"]).sum())
     count1 = float(mult.sum())
     assert abs(mass1 - mass0) <= 1e-6 * mass0, (mass0, mass1)
     assert count1 < count0, "no coalescence happened"
+
+    return (n_sd / 2 * n_steps) / elapsed, count1, mass1
+
+
+def _bench_warm_rain():
+    """flagship 2D config; returns dict of metrics"""
+    from pysdm_tpu.backends import TPU
+    from pysdm_tpu.models.arabas_et_al_2015 import Settings, make_simulation
+    from pysdm_tpu.physics import Formulae, si
+
+    settings = Settings(
+        Formulae(seed=44),
+        grid=WR_GRID,
+        size=(1500 * si.m, 1500 * si.m),
+        n_sd_per_gridbox=WR_N_SD_PER_GRIDBOX,
+        spin_up_time=0,
+    )
+    particulator, spin_up = make_simulation(settings, backend_class=TPU)
+    spin_up.finish()
+
+    particulator.run(1)  # compile + warm up
+    particulator.block_until_ready()
+
+    t0 = time.perf_counter()
+    particulator.run(WR_N_STEPS)
+    particulator.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    n_cell = WR_GRID[0] * WR_GRID[1]
+    n_sd = settings.n_sd
+    return {
+        "warm_rain_grid_points_per_s": float(
+            f"{n_cell * WR_N_STEPS / elapsed:.4g}"
+        ),
+        "warm_rain_pair_updates_per_s": float(
+            f"{n_sd / 2 * WR_N_STEPS / elapsed:.4g}"
+        ),
+        "warm_rain_ms_per_step": float(f"{elapsed / WR_N_STEPS * 1e3:.4g}"),
+        "warm_rain_grid": f"{WR_GRID[0]}x{WR_GRID[1]}",
+        "warm_rain_n_sd": n_sd,
+    }
+
+
+def child():
+    if os.environ.get("PYSDM_TPU_BENCH_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    platform = jax.devices()[0].platform
+
+    extra = {"platform": platform}
+    pallas_was_on = not os.environ.get("PYSDM_TPU_NO_PALLAS")
+
+    rate, count1, mass1 = _bench_box(BOX_N_SD, BOX_N_STEPS)
+
+    if pallas_was_on and platform not in ("cpu",):
+        # measured Pallas-vs-XLA delta + cross-check on the same RNG stream
+        os.environ["PYSDM_TPU_NO_PALLAS"] = "1"
+        try:
+            rate_xla, count_xla, mass_xla = _bench_box(BOX_N_SD, BOX_N_STEPS)
+            extra["box_xla_pair_updates_per_s"] = float(f"{rate_xla:.4g}")
+            extra["box_pallas_vs_xla_speedup"] = float(f"{rate / rate_xla:.3g}")
+            # same u01 stream -> same collision outcomes up to f32 rounding
+            assert abs(count_xla - count1) <= 5e-3 * count1, (count1, count_xla)
+            assert abs(mass_xla - mass1) <= 1e-6 * mass1, (mass1, mass_xla)
+            extra["box_pallas_xla_allclose"] = True
+        finally:
+            del os.environ["PYSDM_TPU_NO_PALLAS"]
+
+    try:
+        extra.update(_bench_warm_rain())
+    except Exception as exc:  # noqa: BLE001 — box metric must still be emitted
+        extra["warm_rain_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
     print(
         json.dumps(
@@ -91,11 +182,73 @@ def main():
                 "metric": "sd_pair_updates_per_s",
                 "value": float(f"{rate:.4g}"),
                 "unit": "pair-updates/s",
-                "vs_baseline": float(f"{rate / REFERENCE_PAIR_UPDATES_PER_S:.4g}"),
+                "vs_baseline": float(
+                    f"{rate / REFERENCE_PAIR_UPDATES_PER_S:.4g}"
+                ),
+                "extra": extra,
+            }
+        )
+    )
+
+
+def _run_child(env_overrides, timeout_s):
+    """run `python bench.py --child`; returns (parsed_json|None, error_str)"""
+    env = dict(os.environ)
+    env.update(env_overrides)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+            env=env,
+            check=False,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout_s}s"
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    if proc.returncode == 0 and lines:
+        try:
+            return json.loads(lines[-1]), ""
+        except json.JSONDecodeError as exc:
+            return None, f"bad JSON: {exc}"
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-6:]
+    return None, f"rc={proc.returncode}: " + " | ".join(tail)[-500:]
+
+
+def main():
+    attempts = (
+        ({}, 2400),  # full: Pallas on TPU (device attach alone can be ~300 s)
+        ({}, 1200),  # retry once — transient FAILED_PRECONDITION heals
+        ({"PYSDM_TPU_NO_PALLAS": "1"}, 1200),  # XLA-only fallback
+        ({"PYSDM_TPU_BENCH_CPU": "1"}, 1800),  # CPU fallback (degraded)
+    )
+    errors = []
+    for i, (env_overrides, timeout_s) in enumerate(attempts):
+        result, err = _run_child(env_overrides, timeout_s)
+        if result is not None:
+            if i > 0:
+                result.setdefault("extra", {})
+                result["extra"]["degraded_attempt"] = i
+                result["extra"]["prior_errors"] = errors
+            print(json.dumps(result))
+            return
+        errors.append(f"attempt {i} ({env_overrides}): {err}")
+    print(
+        json.dumps(
+            {
+                "metric": "sd_pair_updates_per_s",
+                "value": 0.0,
+                "unit": "pair-updates/s",
+                "vs_baseline": 0.0,
+                "error": "; ".join(errors)[-1500:],
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        child()
+    else:
+        main()

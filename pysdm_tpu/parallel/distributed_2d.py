@@ -300,7 +300,13 @@ class DistributedSimulation2D:
             "flags": p.sim_state["flags"],
             "key": keys,
         }
-        p.sim_state = self_sim
+        spec = self._sim_spec(self_sim)
+        # place the host-replicated initial state as global arrays — on a
+        # process-spanning mesh (multi-host via parallel.multihost.initialize)
+        # each process donates its addressable slab blocks
+        from .multihost import host_replicated_to_global
+
+        p.sim_state = host_replicated_to_global(self_sim, spec, self.jmesh)
 
         # ---- shard_map-wrapped step ----------------------------------------
         raw_step = p._step_fn_raw
@@ -312,7 +318,6 @@ class DistributedSimulation2D:
             return {**out, "key": out["key"][None],
                     "env": {**out["env"], "t": out["env"]["t"][None]}}
 
-        spec = self._sim_spec(self_sim)
         sharded = shard_map(
             local_step, mesh=self.jmesh, in_specs=(spec,), out_specs=spec,
             check_vma=False,
@@ -346,8 +351,53 @@ class DistributedSimulation2D:
         self.particulator.run(steps)
 
     def get_env(self, key):
-        """global field in (nx, nz) layout (shards are x-contiguous)"""
+        """global field in (nx, nz) layout (shards are x-contiguous).
+        Single-process only — on a multi-host mesh the global array is not
+        fully addressable; use :meth:`global_diagnostics` instead."""
         return np.asarray(self.particulator.sim_state["env"][key])
+
+    def global_diagnostics(self):
+        """global scalar diagnostics, computed on-device with a replicated
+        output so every process can read them (the multi-host-safe
+        counterpart of the np.asarray getters): water budget terms
+        (vapour + liquid + precipitated = conserved total), alive count,
+        dropped-migration count."""
+        import functools
+
+        from jax.sharding import NamedSharding
+
+        p = self.particulator
+        dv = p.mesh.dv
+
+        @functools.partial(
+            jax.jit,
+            out_shardings=NamedSharding(self.jmesh, P()),
+        )
+        def diag(sim):
+            env = sim["env"]
+            parts = sim["particles"]
+            ftype = env["qv"].dtype
+            vapour = jnp.sum(env["rhod"] * env["qv"]) * dv
+            liquid = jnp.sum(
+                parts.multiplicity.astype(ftype)
+                * jnp.abs(parts.ext("signed water mass"))
+            )
+            precip = jnp.sum(sim["counters"]["precipitated_mass"])
+            return {
+                "water_vapour": vapour,
+                "water_liquid": liquid,
+                "water_precipitated": precip,
+                "water_total": vapour + liquid + precip,
+                "n_alive": jnp.sum(parts.multiplicity > 0),
+                "migration_dropped": jnp.sum(
+                    sim["counters"]["migration_dropped"]
+                ),
+                "condensation_ok": jnp.all(
+                    sim["counters"]["condensation_success"]
+                ),
+            }
+
+        return {k: float(v) for k, v in diag(p.sim_state).items()}
 
     @property
     def attributes(self):
