@@ -173,6 +173,7 @@ class Collision:
                     dt_left,
                     counters["collision_n_substep"],
                     _,
+                    dt_todo,
                 ) = coll_ops.scale_prob_adaptive(
                     prob=prob,
                     mult_s=mult_s,
@@ -190,32 +191,35 @@ class Collision:
 
             rand = draw("collision_gamma", k_gam)
 
-            # fused Pallas fast path (TPU, non-adaptive coalescence, one
-            # extensive row, integer multiplicities): probability, gamma
-            # capping and the Shima update in ONE pass over the sorted state
-            # (ops/pallas/collision.py) instead of ~15 materialized arrays
+            # fused Pallas fast path (TPU, coalescence-only, integer
+            # multiplicities; adaptive and multi-extensive-row supported):
+            # probability, gamma capping and the Shima update in ONE pass
+            # over the sorted state (ops/pallas/collision.py) instead of
+            # ~15 materialized arrays
             use_fused = (
                 not enable_breakup
-                and not adaptive
-                and ext_s.shape[0] == 1
                 and jnp.issubdtype(mult_s.dtype, jnp.integer)
                 and _pallas_enabled()
             )
             if use_fused:
                 from ...ops.pallas.collision import fused_coalesce
 
+                # per-cell scale: the adaptive dt_todo/dt factor, or the
+                # uniform 1/substeps
+                if adaptive:
+                    cell_scale = norm * (dt_todo / dt)
+                else:
+                    cell_scale = norm * prob_scale
                 norm_ext = jnp.concatenate(
-                    [norm, jnp.zeros((1,), norm.dtype)]
+                    [cell_scale, jnp.zeros((1,), norm.dtype)]
                 )
-                kernnorm = (
-                    kernel_vals.astype(ftype)
-                    * norm_ext[sorted_cell]
-                    * prob_scale
+                kernnorm = kernel_vals.astype(ftype) * norm_ext[sorted_cell]
+                from ...ops.pallas.scan import _interpret_mode
+
+                mult_s, ext_s, rate, deficit, coal = fused_coalesce(
+                    mult_s, ext_s, kernnorm, rand, is_first,
+                    interpret=_interpret_mode(),
                 )
-                mult_s, ext0, rate, deficit, coal = fused_coalesce(
-                    mult_s, ext_s[0], kernnorm, rand, is_first
-                )
-                ext_s = ext0[None, :]
                 for cname, row in (
                     ("collision_rate", rate),
                     ("collision_rate_deficit", deficit),

@@ -137,7 +137,10 @@ def scale_prob_adaptive(
         stats_dt_min = jnp.minimum(
             stats_dt_min, jnp.where(jnp.isinf(per_cell_opt), stats_dt_min, per_cell_opt)
         )
-    return prob, new_dt_left, stats_n_substep, stats_dt_min
+    # dt_todo/dt is the per-cell probability scale factor — returned so the
+    # fused Pallas path can fold it into its kernel-value input instead of
+    # consuming the already-scaled prob
+    return prob, new_dt_left, stats_n_substep, stats_dt_min, dt_todo
 
 
 def _cell_start_of(sorted_cell, n_cell):

@@ -101,11 +101,11 @@ def _u64_half(hi, lo):
 
 
 def _coalesce_kernel(
-    # inputs (all (BLOCK_R, LANES)):
+    # inputs ((BLOCK_R, LANES); ext rows (R, BLOCK_R, LANES)):
     mhi_ref, mlo_ref,          # own multiplicity words
     mhi_nx_ref, mlo_nx_ref,    # partner-if-leader (roll -1)
     mhi_pv_ref, mlo_pv_ref,    # partner-if-trailer (roll +1)
-    ext_ref, ext_nx_ref, ext_pv_ref,   # one extensive row (stacked outside)
+    ext_ref, ext_nx_ref, ext_pv_ref,   # R extensive rows
     kn_ref,                    # kernel value x norm x prob_scale at leader
     kn_pv_ref,                 # same, roll +1 (the pair's leader slot)
     rand_ref, rand_pv_ref,     # gamma u01 at leader slot (and rolled)
@@ -194,17 +194,19 @@ def _coalesce_kernel(
     mhi_out_ref[...] = out_hi
     mlo_out_ref[...] = out_lo
 
-    # extensive row: ek_merged = ek + gamma * ej; split -> both get merged
-    e_own = ext_ref[...]
-    e_other = jnp.where(isf, ext_nx_ref[...], ext_pv_ref[...])
-    ej = jnp.where(i_am_j, e_own, e_other)
-    ek_merged = jnp.where(i_am_j, e_other, e_own) + gf * ej
-    e_new = jnp.where(
-        i_am_j,
-        jnp.where(split, ek_merged, ej),  # j keeps ej unless split
-        ek_merged,
-    )
-    ext_out_ref[...] = jnp.where(in_pair, e_new, e_own)
+    # extensive rows: ek_merged = ek + gamma * ej; split -> both get merged
+    # (static unroll over the R conserved rows — same g/split for every row)
+    for r in range(ext_ref.shape[0]):
+        e_own = ext_ref[r]
+        e_other = jnp.where(isf, ext_nx_ref[r], ext_pv_ref[r])
+        ej = jnp.where(i_am_j, e_own, e_other)
+        ek_merged = jnp.where(i_am_j, e_other, e_own) + gf * ej
+        e_new = jnp.where(
+            i_am_j,
+            jnp.where(split, ek_merged, ej),  # j keeps ej unless split
+            ek_merged,
+        )
+        ext_out_ref[r] = jnp.where(in_pair, e_new, e_own)
 
     # per-slot rate contributions at leader slots only (segment-summed by
     # the caller; reference atomic counters -> deterministic sums)
@@ -217,13 +219,23 @@ def _coalesce_kernel(
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_coalesce(
-    mult, ext_row, kernnorm, rand, is_first, interpret=False
+    mult, ext_rows, kernnorm, rand, is_first, interpret=False
 ):
-    """fused probability->gamma->coalesce for int64 multiplicities and ONE
-    extensive row. All arrays are (n,) in sorted-slot order; ``kernnorm`` is
-    kernel_value * norm_factor[cell] * prob_scale (valid at leader slots).
-    Returns (mult_new i64, ext_new, rate, deficit, coal) with the rate rows
-    per-slot (callers segment-sum them)."""
+    """fused probability->gamma->coalesce for int64 multiplicities and R
+    extensive rows (``ext_rows``: (R, n); a 1D (n,) input is treated as one
+    row). All per-slot arrays are (n,) in sorted-slot order; ``kernnorm`` is
+    kernel_value * norm_factor[cell] * prob_scale (valid at leader slots) —
+    with adaptive SDM the per-cell dt_todo/dt factor is folded in by the
+    caller. Returns (mult_new i64, ext_new (R, n), rate, deficit, coal) with
+    the rate rows per-slot (callers segment-sum them)."""
+    squeeze = ext_rows.ndim == 1
+    if squeeze:
+        ext_rows = ext_rows[None, :]
+    # the kernel is an f32 pipeline (TPU production dtype); accept f64
+    # inputs from the CPU/interpret test path by casting at the boundary
+    kernnorm = kernnorm.astype(jnp.float32)
+    rand = rand.astype(jnp.float32)
+    n_rows = ext_rows.shape[0]
     n = mult.shape[0]
     n_pad = -(-n // _BLOCK) * _BLOCK
     pad = n_pad - n
@@ -238,13 +250,18 @@ def fused_coalesce(
         x = jnp.pad(x, (0, pad), constant_values=fill) if pad else x
         return x.reshape(n_pad // LANES, LANES)
 
+    def prep_ext(x):
+        x = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+        return x.reshape(n_rows, n_pad // LANES, LANES)
+
     isf_i = is_first.astype(jnp.int32)
     rolled = lambda x, s, fill=0: prep(jnp.roll(x, s), fill)
+    rolled_ext = lambda x, s: prep_ext(jnp.roll(x, s, axis=1))
     args = (
         prep(m_hi), prep(m_lo),
         rolled(m_hi, -1), rolled(m_lo, -1),
         rolled(m_hi, 1), rolled(m_lo, 1),
-        prep(ext_row), rolled(ext_row, -1), rolled(ext_row, 1),
+        prep_ext(ext_rows), rolled_ext(ext_rows, -1), rolled_ext(ext_rows, 1),
         prep(kernnorm), rolled(kernnorm, 1),
         prep(rand), rolled(rand, 1),
         prep(isf_i), rolled(isf_i, 1),
@@ -253,27 +270,41 @@ def fused_coalesce(
     spec = pl.BlockSpec(
         (BLOCK_R, LANES), lambda i: (i, i * 0), memory_space=pltpu.VMEM
     )
+    ext_spec = pl.BlockSpec(
+        (n_rows, BLOCK_R, LANES),
+        lambda i: (i * 0, i, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        ext_spec if a.ndim == 3 else spec for a in args
+    ]
     f32 = jnp.float32
     out = pl.pallas_call(
         _coalesce_kernel,
         grid=(grid,),
-        in_specs=[spec] * len(args),
-        out_specs=[spec] * 6,
+        in_specs=in_specs,
+        out_specs=[spec, spec, ext_spec, spec, spec, spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((n_pad // LANES, LANES), ext_row.dtype),
+            jax.ShapeDtypeStruct(
+                (n_rows, n_pad // LANES, LANES), ext_rows.dtype
+            ),
             jax.ShapeDtypeStruct((n_pad // LANES, LANES), f32),
             jax.ShapeDtypeStruct((n_pad // LANES, LANES), f32),
             jax.ShapeDtypeStruct((n_pad // LANES, LANES), f32),
         ],
         interpret=interpret,
     )(*args)
-    flat = [o.reshape(n_pad)[:n] for o in out]
+    mult_flat = [out[i].reshape(n_pad)[:n] for i in (0, 1)]
+    ext_new = out[2].reshape(n_rows, n_pad)[:, :n]
+    if squeeze:
+        ext_new = ext_new[0]
+    rates = [out[i].reshape(n_pad)[:n] for i in (3, 4, 5)]
     pair = (
-        jnp.stack([flat[0], flat[1]], axis=-1)
+        jnp.stack([mult_flat[0], mult_flat[1]], axis=-1)
         if hi_static == 0
-        else jnp.stack([flat[1], flat[0]], axis=-1)
+        else jnp.stack([mult_flat[1], mult_flat[0]], axis=-1)
     )
     mult_new = jax.lax.bitcast_convert_type(pair, mult.dtype)
-    return (mult_new, flat[2], flat[3], flat[4], flat[5])
+    return (mult_new, ext_new, rates[0], rates[1], rates[2])

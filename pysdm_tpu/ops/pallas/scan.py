@@ -90,8 +90,16 @@ def _cumsum_pallas(x, interpret=False):
 def _use_pallas():
     if os.environ.get("PYSDM_TPU_NO_PALLAS"):
         return False
+    if os.environ.get("PYSDM_TPU_PALLAS_INTERPRET"):
+        # test hook: exercise the Pallas dispatch paths on CPU via
+        # interpret mode (the FakeThrustRTC analogue for kernels)
+        return True
     backend = jax.default_backend()
     return backend in ("tpu", "axon")
+
+
+def _interpret_mode():
+    return bool(os.environ.get("PYSDM_TPU_PALLAS_INTERPRET"))
 
 
 def cumsum(x, axis=-1):
@@ -106,5 +114,5 @@ def cumsum(x, axis=-1):
         and x.dtype in (jnp.float32, jnp.int32, jnp.uint32)
         and _use_pallas()
     ):
-        return _cumsum_pallas(x)
+        return _cumsum_pallas(x, interpret=_interpret_mode())
     return jnp.cumsum(x, axis=axis)

@@ -96,3 +96,94 @@ def test_mass_conserved_and_split():
     # gamma = floor(7/7) = 1 -> new_n = 0 -> split: 7 -> 3 + 4
     m = np.asarray(mult_new)
     assert set(m[::2]) == {3} and set(m[1::2]) == {4}
+
+
+@pytest.mark.parametrize("seed", (3,))
+def test_fused_multirow_matches_xla(seed):
+    """R=3 extensive rows (the 2D warm-rain attribute block) through the
+    fused kernel vs the XLA reference ops"""
+    n = 4096
+    mult, ext, sorted_cell, is_first, kern, rand = _mk_case(n, seed, True)
+    rng = np.random.default_rng(seed + 100)
+    ext3 = jnp.asarray(
+        rng.uniform(1e-12, 1e-9, size=(3, n)).astype(np.float32)
+    )
+    n_cell = 1
+    cell_start = jnp.searchsorted(
+        sorted_cell, jnp.arange(n_cell + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    prob = coll_ops.collision_probability(
+        kern, mult, sorted_cell, jnp.ones((n_cell,), jnp.float32), is_first
+    )
+    gamma, _ = coll_ops.compute_gamma(
+        prob, rand, mult, sorted_cell, is_first, n_cell, None,
+        cell_start=cell_start,
+    )
+    mult_ref, ext_ref, _ = coll_ops.coalesce(
+        mult, ext3, gamma, is_first, sorted_cell, n_cell, None,
+        cell_start=cell_start,
+    )
+
+    kernnorm = jnp.where(is_first, kern, 0.0)
+    mult_new, ext_new, *_ = fused_coalesce(
+        mult, ext3, kernnorm, rand, is_first, interpret=True
+    )
+    assert ext_new.shape == (3, n)
+    np.testing.assert_array_equal(np.asarray(mult_new), np.asarray(mult_ref))
+    np.testing.assert_allclose(
+        np.asarray(ext_new), np.asarray(ext_ref), rtol=1e-6
+    )
+
+
+def _run_box(n_steps, adaptive, n_sd=2**12, seed=44):
+    from pysdm_tpu import Builder, Formulae
+    from pysdm_tpu.backends import CPU
+    from pysdm_tpu.dynamics import Coalescence
+    from pysdm_tpu.dynamics.collisions.collision_kernels import Golovin
+    from pysdm_tpu.environments import Box
+    from pysdm_tpu.initialisation.sampling.spectral_sampling import (
+        ConstantMultiplicity,
+    )
+    from pysdm_tpu.initialisation.spectra import Exponential
+
+    formulae = Formulae(seed=seed)
+    builder = Builder(
+        n_sd=n_sd, backend=CPU(formulae), environment=Box(dv=1e6, dt=1.0)
+    )
+    x_0 = float(formulae.trivia.volume(radius=30.531e-6))
+    builder.add_dynamic(
+        Coalescence(collision_kernel=Golovin(b=1.5e3), adaptive=adaptive)
+    )
+    attributes = {}
+    attributes["volume"], attributes["multiplicity"] = ConstantMultiplicity(
+        Exponential(norm_factor=(2**23) * 1e6, scale=x_0)
+    ).sample(n_sd)
+    p = builder.build(attributes)
+    p.run(n_steps)
+    p.block_until_ready()
+    return p
+
+
+@pytest.mark.parametrize("adaptive", (False, True))
+def test_dispatch_fused_vs_xla_full_sim(adaptive, monkeypatch):
+    """the Collision dynamic's fused-dispatch path (incl. the adaptive
+    while_loop) vs the XLA path on the same RNG stream — interpret mode
+    stands in for the TPU (CPU analogue of the reference's FakeThrustRTC)"""
+    p_xla = _run_box(5, adaptive)
+    monkeypatch.setenv("PYSDM_TPU_PALLAS_INTERPRET", "1")
+    p_fused = _run_box(5, adaptive)
+    monkeypatch.delenv("PYSDM_TPU_PALLAS_INTERPRET")
+
+    m_xla = np.asarray(p_xla.attributes["multiplicity"], dtype=np.float64)
+    m_fused = np.asarray(p_fused.attributes["multiplicity"], dtype=np.float64)
+    w_xla = np.asarray(p_xla.attributes["water mass"], dtype=np.float64)
+    w_fused = np.asarray(p_fused.attributes["water mass"], dtype=np.float64)
+    # identical u01 streams -> identical collision outcomes up to f32
+    # multiplication-order ULP flips of ceil(prob - rand)
+    same = m_xla == m_fused
+    assert same.mean() > 0.999
+    np.testing.assert_allclose(
+        (m_fused * w_fused).sum(), (m_xla * w_xla).sum(), rtol=1e-9
+    )
+    np.testing.assert_allclose(m_fused.sum(), m_xla.sum(), rtol=1e-3)
