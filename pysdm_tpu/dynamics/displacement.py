@@ -50,6 +50,7 @@ class Displacement:
         builder.add_counter("max_n_substeps_displacement", 1, jnp.int32, fill=1)
         if self.distributed_x is not None:
             builder.add_counter("migration_dropped", 1, jnp.int64)
+            builder.add_counter("migration_far_moves", 1, jnp.int64)
 
     @property
     def precipitation_mass_in_last_step(self):
@@ -199,12 +200,18 @@ class Displacement:
                 )
             )
             if distributed is not None:
-                from ..parallel.migration import migrate_ring
+                from ..parallel.migration import classify_dest_shift, migrate_ring
 
                 nx_local = grid[0]
                 x = cell_origin[0]
-                dest_shift = jnp.where(x < 0, -1, jnp.where(x >= nx_local, 1, 0))
-                dest_shift = jnp.where(multiplicity > 0, dest_shift, 0)
+                dest_shift, far = classify_dest_shift(
+                    x, nx_local, multiplicity
+                )
+                # >1-slab movers cannot ride the ring exchange: kill + count
+                multiplicity = jnp.where(far, 0, multiplicity)
+                counters["migration_far_moves"] = counters[
+                    "migration_far_moves"
+                ] + jnp.sum(far).astype(jnp.int64).reshape(1)
                 cell_origin = cell_origin.at[0].set(x % nx_local)
                 arrays = [
                     multiplicity,

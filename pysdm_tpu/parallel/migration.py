@@ -13,6 +13,23 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def classify_dest_shift(x, nx_local, multiplicity):
+    """destination shift (+-1/0) from a post-displacement x cell origin,
+    plus a ``far`` mask for moves beyond the immediate ring neighbour.
+
+    The ring exchange assumes courant < 1 (at most one slab per step); that
+    assumption is *checked*, not trusted: a particle landing outside
+    [-nx_local, 2*nx_local) cannot be delivered by a +-1 exchange and is
+    flagged ``far`` — callers kill it and count it in the
+    ``migration_far_moves`` counter (deficit-style accounting like the
+    reference's breakup overflows) instead of silently mis-delivering."""
+    alive = multiplicity > 0
+    far = alive & ((x < -nx_local) | (x >= 2 * nx_local))
+    dest = jnp.where(x < 0, -1, jnp.where(x >= nx_local, 1, 0))
+    dest = jnp.where(alive & ~far, dest, 0)
+    return dest.astype(jnp.int32), far
+
+
 def _pack(arrays, mask, capacity):
     """gather up to `capacity` masked particles to the buffer front.
     Returns (buffers, valid, n_over) — arrays may be 1D (n,) or 2D (k, n)."""

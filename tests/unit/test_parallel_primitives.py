@@ -133,3 +133,59 @@ def test_migrate_ring_conserves_particles(mesh):
             assert np.any(np.isclose(seg, payload[0, i])), (
                 f"particle {i} not found on shard {dst_shard}"
             )
+
+
+def test_migrate_ring_overflow_counts_dropped(mesh):
+    """a burst of movers beyond the fixed send capacity increments the
+    dropped counter instead of corrupting state"""
+    n_local = 16
+    cap = 4  # 6 movers per shard -> 2 dropped per shard
+    mult = np.full(N_DEV * n_local, 5, dtype=np.int64)
+    payload = np.ones((1, N_DEV * n_local))
+    shift = np.zeros(N_DEV * n_local, dtype=np.int32)
+    local_slot = np.arange(N_DEV * n_local) % n_local
+    shift[local_slot < 6] = 1
+    mult[(local_slot >= 6) & (local_slot < 14)] = 0  # 8 graves per shard
+
+    @jax.jit
+    def run(mult, payload, shift):
+        def shard_fn(mult, payload, shift):
+            arrays, dropped = migrate_ring(
+                arrays=[mult, payload],
+                multiplicity_index=0,
+                dest_shift=shift,
+                axis_name="x",
+                capacity=cap,
+            )
+            return arrays[0], dropped.reshape(1)
+
+        return shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("x"), P(None, "x"), P("x")),
+            out_specs=(P("x"), P("x")),
+        )(mult, payload, shift)
+
+    mult_out, dropped = run(
+        jnp.asarray(mult), jnp.asarray(payload), jnp.asarray(shift)
+    )
+    # 2 over-capacity movers per shard are dropped (counted, not silently
+    # mis-placed); the 4 within-capacity ones arrive
+    assert int(np.asarray(dropped).sum()) == 2 * N_DEV
+    assert np.asarray(mult_out).sum() == mult.sum() - 2 * N_DEV * 5
+
+
+def test_classify_dest_shift_flags_far_moves():
+    from pysdm_tpu.parallel.migration import classify_dest_shift
+
+    nx_local = 4
+    x = jnp.asarray([-9, -5, -4, -1, 0, 3, 4, 7, 8, 12])
+    mult = jnp.asarray([1, 1, 1, 1, 1, 1, 1, 1, 1, 0])
+    dest, far = classify_dest_shift(x, nx_local, mult)
+    np.testing.assert_array_equal(
+        np.asarray(far),
+        #  -9    -5     -4     -1     0      3      4      7      8     12(dead)
+        [True, True, False, False, False, False, False, False, True, False],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dest), [0, 0, -1, -1, 0, 0, 1, 1, 0, 0]
+    )
