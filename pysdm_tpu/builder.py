@@ -172,15 +172,24 @@ class Builder:
 
         # compose per-step function from dynamics (insertion order is
         # semantically significant — reference particulator.py:50-56)
-        step_fns = [
-            dynamic.make_step(particulator)
-            for dynamic in particulator.dynamics.values()
+        named_step_fns = [
+            (name, dynamic.make_step(particulator))
+            for name, dynamic in particulator.dynamics.items()
             if hasattr(dynamic, "make_step")
         ]
         # environment predicted->current commit runs last (the reference's
         # swap-on-notify observer ordering, particulator.py:58-61)
         if hasattr(self.environment, "make_commit_step"):
-            step_fns.append(self.environment.make_commit_step(particulator))
+            named_step_fns.append(
+                ("EnvCommit", self.environment.make_commit_step(particulator))
+            )
+        step_fns = [fn for _, fn in named_step_fns]
+        # opt-in per-dynamic dispatch mode (one jit per dynamic) — lets
+        # DynamicWallTime observe real per-dynamic splits that the fused
+        # step hides (reference per-dynamic WallTimers, builder.py:157-158)
+        particulator._named_step_fns = [
+            (name, jax.jit(fn)) for name, fn in named_step_fns
+        ]
 
         def full_step(sim):
             for fn in step_fns:

@@ -57,7 +57,21 @@ class Particulator:
         between (reference semantics: observers notified every step,
         reference ``particulator.py:58-61``)."""
         t0 = time.perf_counter()
-        if self.observers:
+        if getattr(self, "per_dynamic_timing", False):
+            for _ in range(steps):
+                sim = self.sim_state
+                for name, fn in self._named_step_fns:
+                    t_dyn = time.perf_counter()
+                    sim = fn(sim)
+                    jax.block_until_ready(sim)
+                    self.timers[name] = self.timers.get(name, 0.0) + (
+                        time.perf_counter() - t_dyn
+                    )
+                self.sim_state = sim
+                self.n_steps += 1
+                for observer in self.observers:
+                    observer.notify()
+        elif self.observers:
             for _ in range(steps):
                 self.sim_state = self._step_fn(self.sim_state)
                 self.n_steps += 1
@@ -74,6 +88,13 @@ class Particulator:
 
     def block_until_ready(self):
         jax.block_until_ready(self.sim_state)
+
+    def enable_per_dynamic_timing(self, enable=True):
+        """opt into per-dynamic dispatch (one jit + device sync per dynamic
+        per step) so ``DynamicWallTime`` reports real per-dynamic wall times
+        (reference ``impl/wall_timer.py:9-22``). Costs one dispatch latency
+        per dynamic per step — a profiling mode, not the production path."""
+        self.per_dynamic_timing = enable
 
     # -- state access ---------------------------------------------------
     @property

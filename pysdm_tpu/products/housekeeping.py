@@ -75,10 +75,10 @@ class SuperDropletCountPerGridbox(MomentProduct):
 
 class DynamicWallTime(Product):
     """wall time spent in a given dynamic, reset on read (reference
-    ``dynamic_wall_time.py``). With the fused jitted step the per-dynamic
-    split is not observable from the host; this reports the whole-step
-    wall-time accumulated in ``particulator.timers`` under the dynamic's key
-    when a per-dynamic timer exists, else NaN."""
+    ``dynamic_wall_time.py``). Requires the opt-in per-dynamic dispatch
+    mode (``particulator.enable_per_dynamic_timing()``) — the production
+    fused step hides per-dynamic splits from the host, so without the
+    opt-in this reports NaN rather than a made-up number."""
 
     def __init__(self, dynamic, name=None, unit="s"):
         super().__init__(name=name or f"{dynamic} wall time", unit=unit)
@@ -92,9 +92,9 @@ class DynamicWallTime(Product):
         import numpy as np
 
         timers = self.particulator.timers
-        value = timers.get(self.dynamic, timers.get("total", np.nan))
+        value = timers.get(self.dynamic, np.nan)
         if self.dynamic in timers:
-            timers[self.dynamic] = 0.0
+            timers[self.dynamic] = 0.0  # reset on read (reference semantics)
         return np.asarray(value)
 
     def shape_for_output(self, result):

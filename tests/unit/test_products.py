@@ -103,6 +103,9 @@ def test_product_collection_on_column():
     particulator.sim_state["env"]["courant_0"] = jnp.full(
         nz + 1, 0.1, dtype=particulator.dtype
     )
+    # per-dynamic dispatch opt-in: DynamicWallTime must report a real
+    # (finite, positive) per-dynamic split, not NaN
+    particulator.enable_per_dynamic_timing()
     particulator.run(5)
     for name, product in particulator.products.items():
         value = product.get(**({"S_max": 0.5} if name == "activable fraction" else {}))
@@ -116,3 +119,47 @@ def test_product_collection_on_column():
     af = particulator.products["activable fraction"].get(S_max=0.5)
     assert (0 <= af).all() and (af <= 1).all()
     assert particulator.products["time"].get() == 10.0
+
+
+def test_per_dynamic_timing_mode():
+    """opt-in per-dynamic dispatch: DynamicWallTime reports positive wall
+    times per dynamic and resets on read; without the opt-in it reports NaN
+    (reference dynamic_wall_time.py:9-25 + wall_timer.py)"""
+    from pysdm_tpu import Builder, Formulae
+    from pysdm_tpu.backends import CPU
+    from pysdm_tpu.dynamics import Coalescence
+    from pysdm_tpu.dynamics.collisions.collision_kernels import Golovin
+    from pysdm_tpu.environments import Box
+    from pysdm_tpu.initialisation.sampling.spectral_sampling import (
+        ConstantMultiplicity,
+    )
+    from pysdm_tpu.initialisation.spectra import Exponential
+
+    def build():
+        formulae = Formulae(seed=3)
+        builder = Builder(
+            n_sd=128, backend=CPU(formulae), environment=Box(dv=1e6, dt=1.0)
+        )
+        builder.add_dynamic(
+            Coalescence(collision_kernel=Golovin(b=1.5e3), adaptive=False)
+        )
+        attributes = {}
+        x0 = float(formulae.trivia.volume(radius=30.531e-6))
+        attributes["volume"], attributes["multiplicity"] = ConstantMultiplicity(
+            Exponential(norm_factor=(2**23) * 1e6, scale=x0)
+        ).sample(128)
+        return builder.build(
+            attributes, products=(prod.DynamicWallTime("Collision"),)
+        )
+
+    p = build()
+    p.run(3)
+    assert np.isnan(float(p.products["Collision wall time"].get()))
+
+    p = build()
+    p.enable_per_dynamic_timing()
+    p.run(3)
+    t1 = float(p.products["Collision wall time"].get())
+    assert np.isfinite(t1) and t1 > 0
+    # reset-on-read: immediate second read is zero
+    assert float(p.products["Collision wall time"].get()) == 0.0
