@@ -81,8 +81,6 @@ class MPDATA_2D:
         nonoscillatory=True,
         third_order_terms=False,
     ):
-        if third_order_terms:
-            raise NotImplementedError("third-order terms: not yet implemented")
         from ..impl import arakawa_c
 
         self.advectees = advectees
@@ -106,6 +104,7 @@ class MPDATA_2D:
             n_iters=n_iters,
             infinite_gauge=infinite_gauge,
             nonoscillatory=nonoscillatory,
+            third_order_terms=third_order_terms,
             bcs=(PERIODIC, PERIODIC),
         )
 
@@ -148,8 +147,6 @@ class MPDATA_1D:
         nonoscillatory=True,
         third_order_terms=False,
     ):
-        if third_order_terms:
-            raise NotImplementedError("third-order terms: not yet implemented")
         self.nz = nz
         self.dt = dt
         self.advector_of_t = advector_of_t
@@ -159,6 +156,7 @@ class MPDATA_1D:
             n_iters=n_iters,
             infinite_gauge=infinite_gauge,
             nonoscillatory=nonoscillatory,
+            third_order_terms=third_order_terms,
             bcs=(EXTRAPOLATED,),
         )
 

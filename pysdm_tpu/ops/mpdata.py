@@ -30,22 +30,22 @@ def _eps(dtype):
     return jnp.asarray(1e-15 if jnp.finfo(dtype).bits == 64 else 1e-7, dtype)
 
 
-def _pad1(arr, axis, bc):
-    """halo-1 pad along one axis; a ``('shard', axis_name)`` bc pads with the
-    neighbouring shards' boundary slices via ppermute (parallel.halo) —
-    globally-periodic semantics under shard_map"""
+def _pad1(arr, axis, bc, depth=1):
+    """halo-``depth`` pad along one axis; a ``('shard', axis_name)`` bc pads
+    with the neighbouring shards' boundary slices via ppermute
+    (parallel.halo) — globally-periodic semantics under shard_map"""
     if isinstance(bc, tuple) and bc[0] == "shard":
         from ..parallel.halo import ring_halo_pad
 
-        return ring_halo_pad(arr, axis, bc[1])
+        return ring_halo_pad(arr, axis, bc[1], depth=depth)
     pad = [(0, 0)] * arr.ndim
-    pad[axis] = (1, 1)
+    pad[axis] = (depth, depth)
     return jnp.pad(arr, pad, mode="wrap" if bc == PERIODIC else "edge")
 
 
-def _pad_all(psi, bcs):
+def _pad_all(psi, bcs, depth=1):
     for ax, bc in enumerate(bcs):
-        psi = _pad1(psi, ax, bc)
+        psi = _pad1(psi, ax, bc, depth=depth)
     return psi
 
 
@@ -62,6 +62,21 @@ def _face_view(psi_p, d, side, shifts=()):
             s = shifts.get(ax, 0)
             idx.append(slice(1 + s, psi_p.shape[ax] - 1 + s))
     return psi_p[tuple(idx)]
+
+
+def _face_view_deep(psi_p2, d, offset, shifts=()):
+    """cell values at relative position ``offset`` w.r.t. the n_d+1 faces
+    along axis d (0 = left cell, 1 = right cell, +2/-1 = next-nearest),
+    from the everywhere-halo-2-padded field"""
+    shifts = dict(shifts)
+    idx = []
+    for ax in range(psi_p2.ndim):
+        if ax == d:
+            idx.append(slice(1 + offset, psi_p2.shape[ax] - 2 + offset))
+        else:
+            s = shifts.get(ax, 0)
+            idx.append(slice(2 + s, psi_p2.shape[ax] - 2 + s))
+    return psi_p2[tuple(idx)]
 
 
 def _flux_divergence(fluxes, psi_shape):
@@ -117,12 +132,16 @@ def _g_at_faces(g, d, bc):
     return 0.5 * (gp[tuple(idx_l)] + gp[tuple(idx_r)])
 
 
-def _antidiffusive_gc(psi, gc, g, bcs, infinite_gauge):
+def _antidiffusive_gc(psi, gc, g, bcs, infinite_gauge, third_order_terms=False):
     """pseudo-velocity GC' per SM98 eq. 13 generalised to non-unit G
-    (libmpdata++ eq. 29-32): |GC|(1-|GC|/Gbar)*A - GC * sum_q GCbar_q/Gbar * B_q"""
+    (libmpdata++ eq. 29-32): |GC|(1-|GC|/Gbar)*A - GC * sum_q GCbar_q/Gbar * B_q;
+    with ``third_order_terms`` the SM98 eq. 36 corrections are added (the
+    option surface the reference's examples pass to PyMPDATA,
+    ``mpdata_2d.py:45-50`` third_order_terms=...)"""
     dtype = psi.dtype
     ndim = psi.ndim
     psi_p = _pad_all(psi, bcs)
+    psi_p2 = _pad_all(psi, bcs, depth=2) if third_order_terms else None
     gc_out = []
     for d, gc_d in enumerate(gc):
         psi_l = _face_view(psi_p, d, 0)
@@ -157,6 +176,52 @@ def _antidiffusive_gc(psi, gc, g, bcs, infinite_gauge):
                     dtype,
                 )
             out = out - gc_d * _gc_bar(gc[q], d, q, bcs) / g_bar * b_term
+
+        if third_order_terms:
+            # own-dimension term, SM98 eq. 36: coefficient
+            # (3 GC |GC|/G - 2 GC^3/G^2 - GC)/6 times the normalized
+            # second difference across the face (-> a psi_xxx flux term)
+            p2 = _face_view_deep(psi_p2, d, 2)
+            p1 = _face_view_deep(psi_p2, d, 1)
+            p0 = _face_view_deep(psi_p2, d, 0)
+            pm = _face_view_deep(psi_p2, d, -1)
+            coef = (
+                3.0 * gc_d * jnp.abs(gc_d) / g_bar
+                - 2.0 * gc_d**3 / g_bar**2
+                - gc_d
+            ) / 6.0
+            if infinite_gauge:
+                tot = coef * (p2 - p1 - p0 + pm) / 2.0
+            else:
+                tot = coef * 2.0 * _frac(
+                    jnp.abs(p2) - jnp.abs(p1) - jnp.abs(p0) + jnp.abs(pm),
+                    jnp.abs(p2) + jnp.abs(p1) + jnp.abs(p0) + jnp.abs(pm),
+                    dtype,
+                )
+            out = out + tot
+            # cross term: GCbar_q/(2G) (|GC| - 2 GC^2/G) times the
+            # normalized mixed difference
+            for q in range(ndim):
+                if q == d:
+                    continue
+                lu = _face_view(psi_p, d, 0, {q: +1})
+                ru = _face_view(psi_p, d, 1, {q: +1})
+                ld = _face_view(psi_p, d, 0, {q: -1})
+                rd = _face_view(psi_p, d, 1, {q: -1})
+                coef_x = (
+                    _gc_bar(gc[q], d, q, bcs)
+                    / (2.0 * g_bar)
+                    * (jnp.abs(gc_d) - 2.0 * gc_d**2 / g_bar)
+                )
+                if infinite_gauge:
+                    tot_x = coef_x * (ru - lu - rd + ld) / 2.0
+                else:
+                    tot_x = coef_x * 2.0 * _frac(
+                        jnp.abs(ru) - jnp.abs(lu) - jnp.abs(rd) + jnp.abs(ld),
+                        jnp.abs(ru) + jnp.abs(lu) + jnp.abs(rd) + jnp.abs(ld),
+                        dtype,
+                    )
+                out = out + tot_x
         gc_out.append(out)
     return gc_out
 
@@ -257,6 +322,7 @@ def mpdata_step(
     n_iters=2,
     infinite_gauge=False,
     nonoscillatory=False,
+    third_order_terms=False,
     bcs=None,
 ):
     """advance one MPDATA time step; returns the updated cell field.
@@ -274,7 +340,10 @@ def mpdata_step(
     psi = psi - (div / g_cell if g_cell is not None else div)
 
     for _ in range(n_iters - 1):
-        gc_corr = _antidiffusive_gc(psi, gc, g_cell, bcs, infinite_gauge)
+        gc_corr = _antidiffusive_gc(
+            psi, gc, g_cell, bcs, infinite_gauge,
+            third_order_terms=third_order_terms,
+        )
         if nonoscillatory:
             gc_corr = _fct_limit(psi, psi0, gc_corr, g_cell, bcs, infinite_gauge)
         if infinite_gauge:

@@ -13,15 +13,19 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def ring_halo_pad(arr, axis, axis_name):
-    """halo-1 pad along `axis` with the neighbouring shards' boundary slices
-    (global-periodic ring). Equivalent single-device semantics: jnp.pad wrap."""
+def ring_halo_pad(arr, axis, axis_name, depth=1):
+    """halo-``depth`` pad along `axis` with the neighbouring shards' boundary
+    slices (global-periodic ring; one bidirectional ppermute regardless of
+    depth). Equivalent single-device semantics: jnp.pad wrap.
+    Requires depth <= local extent (always true for the >=2-cell slabs the
+    decomposition produces)."""
     n_shards = lax.psum(1, axis_name)
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-    last = lax.slice_in_dim(arr, arr.shape[axis] - 1, arr.shape[axis], axis=axis)
-    first = lax.slice_in_dim(arr, 0, 1, axis=axis)
-    # my left halo = left neighbour's last slice (sent forward)
+    n = arr.shape[axis]
+    last = lax.slice_in_dim(arr, n - depth, n, axis=axis)
+    first = lax.slice_in_dim(arr, 0, depth, axis=axis)
+    # my left halo = left neighbour's last slices (sent forward)
     left_halo = lax.ppermute(last, axis_name, perm=fwd)
     right_halo = lax.ppermute(first, axis_name, perm=bwd)
     return jnp.concatenate([left_halo, arr, right_halo], axis=axis)

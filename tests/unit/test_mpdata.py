@@ -132,3 +132,69 @@ def test_solid_body_rotation_2d():
     corr = np.corrcoef(out.ravel(), psi0.ravel())[0, 1]
     assert corr > 0.97, f"rotation correlation {corr}"
     assert out.max() > 0.7 * psi0.max()
+
+
+class TestThirdOrderTerms:
+    """SM98 eq. 36 third-order corrections (the reference's examples pass
+    ``third_order_terms=...`` to PyMPDATA, ``mpdata_2d.py:45-50``): with
+    infinite-gauge + TOT the linear scheme is third-order accurate."""
+
+    @staticmethod
+    def _order_1d(tot, C=0.4):
+        errs = []
+        for n in (32, 64, 128):
+            x = (np.arange(n) + 0.5) / n
+            psi0 = np.sin(2 * np.pi * x) + 2.0
+            gc = (jnp.full(n + 1, C),)
+            psi = jnp.asarray(psi0)
+            for _ in range(int(round(n / C))):  # one full revolution
+                psi = mpdata_step(
+                    psi, gc, n_iters=2, infinite_gauge=True,
+                    third_order_terms=tot,
+                )
+            errs.append(float(np.abs(np.asarray(psi) - psi0).max()))
+        return [np.log2(errs[i] / errs[i + 1]) for i in range(len(errs) - 1)]
+
+    def test_1d_third_order_convergence(self):
+        orders_2nd = self._order_1d(tot=False)
+        orders_3rd = self._order_1d(tot=True)
+        assert all(1.8 < o < 2.4 for o in orders_2nd), orders_2nd
+        assert all(o > 2.8 for o in orders_3rd), orders_3rd
+
+    @staticmethod
+    def test_2d_cross_terms_reach_third_order():
+        def err(tot, n, Cx=0.3, Cy=0.2):
+            x = (np.arange(n) + 0.5) / n
+            X, Y = np.meshgrid(x, x, indexing="ij")
+            psi0 = np.sin(2 * np.pi * X) * np.sin(2 * np.pi * Y) + 2.0
+            gcs = (jnp.full((n + 1, n), Cx), jnp.full((n, n + 1), Cy))
+            psi = jnp.asarray(psi0)
+            for _ in range(10 * n):  # Cx: 3 revolutions, Cy: 2 -> periodic
+                psi = mpdata_step(
+                    psi, gcs, n_iters=2, infinite_gauge=True,
+                    third_order_terms=tot,
+                )
+            return float(np.abs(np.asarray(psi) - psi0).max())
+
+        errs = [err(True, n) for n in (16, 32, 64)]
+        orders = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
+        assert orders[-1] > 2.8, (errs, orders)
+        # strictly better than the second-order scheme
+        assert errs[-1] < err(False, 64)
+
+    @staticmethod
+    def test_option_accepted_by_solvers():
+        from pysdm_tpu.dynamics.eulerian_advection import MPDATA_1D, MPDATA_2D
+
+        MPDATA_1D(
+            nz=8, dt=1.0, advector_of_t=lambda t: jnp.zeros(9),
+            g_factor_z=np.ones(8), g_factor_z_faces=np.ones(9),
+            third_order_terms=True,
+        )
+        MPDATA_2D(
+            advectees={"th": np.zeros((4, 4))},
+            stream_function=lambda xX, zZ, t: 0.0 * xX * zZ,
+            rhod_of_zZ=lambda zZ: np.ones_like(np.asarray(zZ)),
+            dt=1.0, grid=(4, 4), size=(100.0, 100.0),
+            third_order_terms=True,
+        )
