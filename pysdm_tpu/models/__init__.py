@@ -16,7 +16,11 @@ Isotope formula studies:   isotopes, isotope_papers (Bolin 1958, Miyake 1968,
                            Stewart 1975, Pruppacher & Rasmussen 1979,
                            Fisher 1991, Bolot 2013, Lamb 2017, Graf 2019,
                            Toon 1980, Zaba et al., Kinzer & Gunn 1951,
-                           Pierchala 2022)
+                           Pierchala 2022), merlivat_and_nief_1967,
+                           van_hook_1968, gonfiantini_1986,
+                           jouzel_and_merlivat_1984,
+                           gedzelman_and_arnold_1994
+Isotope multibox:          rozanski_and_sonntag_1982
 """
 
 from . import (
@@ -29,18 +33,24 @@ from . import (
     dejong_mackay_et_al_2023,
     bieli_et_al_2022,
     dejong_azimi,
+    gedzelman_and_arnold_1994,
+    gonfiantini_1986,
     grabowski_and_pawlowska_2023,
     isotope_papers,
     jaruga_and_pawlowska_2018,
     jensen_and_nugent_2017,
+    jouzel_and_merlivat_1984,
     kreidenweis_et_al_2003,
     lowe_et_al_2019,
+    merlivat_and_nief_1967,
     niedermeier_et_al_2014,
     pyrcel,
+    rozanski_and_sonntag_1982,
     seeding,
     shima_et_al_2009,
     shipway_and_hill_2012,
     srivastava_1982,
     thesis_benchmarks,
+    van_hook_1968,
     yang_et_al_2018,
 )

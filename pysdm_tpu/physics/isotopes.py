@@ -158,6 +158,62 @@ class VanHook1968:
             const.VAN_HOOK_1968_ALPHA_I_17O_B, const.VAN_HOOK_1968_ALPHA_I_17O_C,
         )
 
+    @staticmethod
+    def alpha_l_3H(const, T):
+        return _exp_poly_inv_T(
+            T, const.VAN_HOOK_1968_ALPHA_L_3H_A,
+            const.VAN_HOOK_1968_ALPHA_L_3H_B, const.VAN_HOOK_1968_ALPHA_L_3H_C,
+        )
+
+    @staticmethod
+    def alpha_i_3H(const, T):
+        return _exp_poly_inv_T(
+            T, const.VAN_HOOK_1968_ALPHA_I_3H_A,
+            const.VAN_HOOK_1968_ALPHA_I_3H_B, const.VAN_HOOK_1968_ALPHA_I_3H_C,
+        )
+
+    @staticmethod
+    def alpha_l_TOT(const, T):
+        return _exp_poly_inv_T(
+            T, const.VAN_HOOK_1968_ALPHA_L_TOT_A,
+            const.VAN_HOOK_1968_ALPHA_L_TOT_B, const.VAN_HOOK_1968_ALPHA_L_TOT_C,
+        )
+
+    @staticmethod
+    def alpha_i_TOT(const, T):
+        return _exp_poly_inv_T(
+            T, const.VAN_HOOK_1968_ALPHA_I_TOT_A,
+            const.VAN_HOOK_1968_ALPHA_I_TOT_B, const.VAN_HOOK_1968_ALPHA_I_TOT_C,
+        )
+
+    @staticmethod
+    def alpha_l_DOT(const, T):
+        return _exp_poly_inv_T(
+            T, const.VAN_HOOK_1968_ALPHA_L_DOT_A,
+            const.VAN_HOOK_1968_ALPHA_L_DOT_B, const.VAN_HOOK_1968_ALPHA_L_DOT_C,
+        )
+
+    @staticmethod
+    def alpha_i_DOT(const, T):
+        return _exp_poly_inv_T(
+            T, const.VAN_HOOK_1968_ALPHA_I_DOT_A,
+            const.VAN_HOOK_1968_ALPHA_I_DOT_B, const.VAN_HOOK_1968_ALPHA_I_DOT_C,
+        )
+
+    @staticmethod
+    def alpha_l_DOD(const, T):
+        return _exp_poly_inv_T(
+            T, const.VAN_HOOK_1968_ALPHA_L_DOD_A,
+            const.VAN_HOOK_1968_ALPHA_L_DOD_B, const.VAN_HOOK_1968_ALPHA_L_DOD_C,
+        )
+
+    @staticmethod
+    def alpha_i_DOD(const, T):
+        return _exp_poly_inv_T(
+            T, const.VAN_HOOK_1968_ALPHA_I_DOD_A,
+            const.VAN_HOOK_1968_ALPHA_I_DOD_B, const.VAN_HOOK_1968_ALPHA_I_DOD_C,
+        )
+
 
 # --- kinetic fractionation factors --------------------------------------------
 class CraigGordon:
