@@ -199,6 +199,7 @@ class Collision:
             use_fused = (
                 not enable_breakup
                 and jnp.issubdtype(mult_s.dtype, jnp.integer)
+                and particles.maximum.shape[0] == 0  # max-merge: XLA path
                 and _pallas_enabled()
             )
             if use_fused:
@@ -239,10 +240,18 @@ class Collision:
             )
 
             if not enable_breakup:
-                mult_s, ext_s, counters = coll_ops.coalesce(
-                    mult_s, ext_s, gamma, is_first, sorted_cell, n_cell, counters,
-                    cell_start=cell_start,
-                )
+                if particles.maximum.shape[0]:
+                    mult_s, ext_s, counters, max_s = coll_ops.coalesce(
+                        mult_s, ext_s, gamma, is_first, sorted_cell, n_cell,
+                        counters, cell_start=cell_start,
+                        max_s=particles.maximum,
+                    )
+                    particles = particles.replace(maximum=max_s)
+                else:
+                    mult_s, ext_s, counters = coll_ops.coalesce(
+                        mult_s, ext_s, gamma, is_first, sorted_cell, n_cell,
+                        counters, cell_start=cell_start,
+                    )
             else:
                 from ...ops.breakup import collision_coalescence_breakup
 

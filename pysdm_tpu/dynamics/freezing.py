@@ -53,14 +53,17 @@ class Freezing:
         immersion = self.immersion_freezing
         homogeneous = self.homogeneous_freezing
         thaw = self.thaw
-        if "Coalescence" in particulator.dynamics or (
-            "Collision" in particulator.dynamics
-        ):
-            # reference freezing.py: T_fz bookkeeping through collisions is
-            # unimplemented there too
-            raise NotImplementedError(
-                "handling T_fz during collisions not implemented yet"
-            )
+        # coalescence max-merges "freezing temperature" (ops/collisions.py
+        # coalesce max_s path — the reference leaves this unwired, its
+        # TODO #594) and sums "immersed surface area" (extensive row);
+        # fragment T_fz under breakup is undefined in the reference too, so
+        # that combination stays a loud error
+        for dyn in particulator.dynamics.values():
+            if getattr(dyn, "enable_breakup", False):
+                raise NotImplementedError(
+                    "handling T_fz during breakup not implemented"
+                    " (undefined in the reference as well)"
+                )
 
         def step(sim):
             particles = sim["particles"]

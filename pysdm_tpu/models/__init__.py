@@ -33,6 +33,7 @@ from . import (
     dejong_mackay_et_al_2023,
     bieli_et_al_2022,
     dejong_azimi,
+    ervens_and_feingold_2012,
     gedzelman_and_arnold_1994,
     gonfiantini_1986,
     grabowski_and_pawlowska_2023,
@@ -43,8 +44,10 @@ from . import (
     kreidenweis_et_al_2003,
     lowe_et_al_2019,
     merlivat_and_nief_1967,
+    morrison_and_grabowski_2007,
     niedermeier_et_al_2014,
     pyrcel,
+    rogers_1975,
     rozanski_and_sonntag_1982,
     seeding,
     shima_et_al_2009,

@@ -13,28 +13,15 @@ from ..backends import CPU
 from ..dynamics import AmbientThermodynamics, Condensation, Freezing
 from ..environments import Parcel
 from ..initialisation.equilibrate_wet_radii import equilibrate_wet_radii
-from ..initialisation.sampling.spectral_sampling import Logarithmic
-from ..initialisation.spectra import Lognormal
 from ..physics import si
 from ..products import (
     AmbientTemperature,
     IceWaterContent,
     ParcelDisplacement,
 )
-
-
-def sampled_ccn_diameter_number_concentration_spectrum(
-    n_sd=11, size_range=(0.02 * si.um, 2 * si.um)
-):
-    """Ervens & Feingold 2012 CCN spectrum: lognormal, logarithmically
-    sampled (reference ``Ervens_and_Feingold_2012/settings.py:6-12``);
-    returns (diameters, number concentrations)"""
-    return Logarithmic(
-        spectrum=Lognormal(
-            s_geom=1.4, m_mode=0.04 * si.um, norm_factor=100 / si.cm**3
-        ),
-        size_range=size_range,
-    ).sample(n_sd)
+from .ervens_and_feingold_2012 import (
+    sampled_ccn_diameter_number_concentration_spectrum,
+)
 
 
 class Settings:

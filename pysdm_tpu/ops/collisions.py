@@ -200,12 +200,18 @@ def compute_gamma(
 
 
 def coalesce(
-    mult_s, ext_s, gamma, is_first, sorted_cell, n_cell, counters=None, cell_start=None
+    mult_s, ext_s, gamma, is_first, sorted_cell, n_cell, counters=None,
+    cell_start=None, max_s=None,
 ):
     """Shima 2009 coalescence update (reference ``collisions_methods.py:45-59``):
     xi_j -= gamma * xi_k and extensive_k += gamma * extensive_j; when xi_j
     hits 0 the j-droplet is recycled by splitting k's multiplicity in half.
-    Returns updated (mult_s, ext_s) in sorted-slot order."""
+    Maximum attributes (``max_s``, e.g. freezing temperature) take the
+    pairwise max on merge — semantics the reference declares
+    (``attributes/impl/maximum_attribute.py``) but leaves unwired in its
+    coalescence kernel (``impl/particle_attributes_factory.py:118``,
+    TODO #594). Returns updated (mult_s, ext_s[, max_s]) in sorted-slot
+    order."""
     ftype = ext_s.dtype
     a_m, b_m = mult_s, pair_roll(mult_s)
     a_e, b_e = ext_s, pair_roll(ext_s, axis=1)
@@ -247,7 +253,22 @@ def coalesce(
 
     mult_out = _merge_pair_results(mult_s, a_m_new, b_m_new, is_first)
     ext_out = _merge_pair_results(ext_s, a_e_new, b_e_new, is_first, axis=1)
-    return mult_out, ext_out, counters
+    if max_s is None or max_s.shape[0] == 0:
+        return mult_out, ext_out, counters
+
+    a_x, b_x = max_s, pair_roll(max_s, axis=1)
+    xj = jnp.where(j_is_a[None, :], a_x, b_x)
+    xk = jnp.where(j_is_a[None, :], b_x, a_x)
+    merged_x = jnp.maximum(xj, xk)
+    # droplets that absorbed anything (g>0) take the pair max; in the split
+    # case both halves descend from the same merged droplet
+    collided = (g > 0)[None, :]
+    xk_new = jnp.where(collided, merged_x, xk)
+    xj_new = jnp.where(split[None, :], merged_x, xj)
+    a_x_new = jnp.where(j_is_a[None, :], xj_new, xk_new)
+    b_x_new = jnp.where(j_is_a[None, :], xk_new, xj_new)
+    max_out = _merge_pair_results(max_s, a_x_new, b_x_new, is_first, axis=1)
+    return mult_out, ext_out, counters, max_out
 
 
 def _merge_pair_results(orig, a_new, b_new, is_first, axis=0):

@@ -26,6 +26,13 @@ class _AttributeView:
     def __getitem__(self, name):
         return np.asarray(self._p.get_attribute(name))
 
+    def __contains__(self, name):
+        try:
+            self._p.get_attribute(name)
+        except (KeyError, AttributeError, TypeError):
+            return False
+        return True
+
 
 class Particulator:
     def __init__(self, n_sd, backend):

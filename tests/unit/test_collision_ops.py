@@ -47,6 +47,39 @@ class TestCoalesce:
         assert np.allclose(np.asarray(e)[0], [24.0, 24.0])
 
     @staticmethod
+    def test_maximum_attribute_merge():
+        """maximum attributes (e.g. freezing temperature) take the pairwise
+        max on merge — reference-declared semantics
+        (``attributes/impl/maximum_attribute.py``) left unwired there
+        (TODO #594). slots: pair (0,1) collides (j=0 absorbs into k=1),
+        pair (2,3) does not."""
+        mult = jnp.array([5, 2, 3, 1], dtype=jnp.int64)
+        ext = jnp.array([[10.0, 4.0, 1.0, 1.0]])
+        mx = jnp.array([[250.0, 260.0, 240.0, 270.0]])
+        gamma = jnp.array([2, 0, 0, 0], dtype=jnp.int64)
+        is_first = jnp.array([True, False, True, False])
+        cell = jnp.zeros(4, jnp.int32)
+        m, e, _, x = ops.coalesce(
+            mult, ext, gamma, is_first, cell, 1, _counters(1), max_s=mx
+        )
+        x = np.asarray(x)[0]
+        # merged k droplet: max(250, 260) = 260; j keeps its own T_fz
+        assert x.tolist() == [250.0, 260.0, 240.0, 270.0]
+
+        # split case: xi=(4,2), gamma=2 -> both halves carry the pair max
+        mult = jnp.array([4, 2], dtype=jnp.int64)
+        ext = jnp.array([[10.0, 4.0]])
+        mx = jnp.array([[270.0, 250.0]])
+        gamma = jnp.array([2, 0], dtype=jnp.int64)
+        is_first = jnp.array([True, False])
+        cell = jnp.zeros(2, jnp.int32)
+        m, e, _, x = ops.coalesce(
+            mult, ext, gamma, is_first, cell, 1, _counters(1), max_s=mx
+        )
+        assert np.asarray(m).tolist() == [1, 1]
+        assert np.asarray(x)[0].tolist() == [270.0, 270.0]
+
+    @staticmethod
     def test_mass_and_number_invariants_random():
         rng = np.random.default_rng(3)
         n = 128
