@@ -70,10 +70,49 @@ class VapourDepositionOnIce:
             active = frozen & (saturation_ratio_ice != 1.0) & (mult > 0)
             dm_dt = jnp.where(active, dm_dt, 0.0)
 
+            # explicit Euler growth in the diffusion coordinate (reference
+            # ``deposition_methods.py:130-133``); sublimation clamped at a
+            # tiny positive ice mass (the mass coordinate could otherwise
+            # cross zero and flip the particle liquid)
+            x_old = f.diffusion_coordinate.x(ice_mass)
+            dx_dt = f.diffusion_coordinate.dx_dt(ice_mass, dm_dt)
+            x_new = x_old + dt * dx_dt
+            mass_tentative = jnp.maximum(
+                f.diffusion_coordinate.mass(x_new), 1e-21
+            )
+            dm = jnp.where(active, mass_tentative - ice_mass, 0.0)
+
+            # per-cell deposition limiter on the ACTUAL coordinate-step mass
+            # change (in a log coordinate it can far exceed dt*dm_dt for
+            # freshly nucleated crystals): cell-total growth is scaled down
+            # to the available vapour excess over ice saturation (deposition
+            # physically stops at Si = 1). The reference has no guard — it
+            # asserts/crashes on over-depletion
+            # (``deposition_methods.py:113-114``). The vapour/heat feedback
+            # below uses the same limited dm, so the water budget closes
+            # exactly.
+            pvs_i_cell = f.saturation_vapour_pressure.pvs_ice(env["T"])
+            qv_sat_ice = const.eps * pvs_i_cell / (env["p"] - pvs_i_cell)
+            # per-cell dry-air mass: constant m_d in a parcel (whose volume
+            # evolves — the static mesh dv would leak water there), dv*rhod
+            # on fixed Eulerian grids
+            m_d_cell = env.get("m_d", dv * env["rhod"])
+            demand = jax.ops.segment_sum(
+                jnp.maximum(dm, 0.0) * mult.astype(ftype),
+                cell,
+                num_segments=n_cell,
+            ) / m_d_cell
+            avail = jnp.maximum(env["qv"] - qv_sat_ice, 0.0)
+            scale = jnp.where(
+                demand > avail, avail / jnp.maximum(demand, 1e-300), 1.0
+            )
+            dm = jnp.where(dm > 0, dm * scale[cell], dm)
+            new_mass = jnp.maximum(ice_mass + dm, 1e-21)
+
             # per-cell vapour/heat feedback on the predicted fields
             delta_rv = jax.ops.segment_sum(
-                -dm_dt * mult.astype(ftype) * dt, cell, num_segments=n_cell
-            ) / (dv * env["rhod"])
+                -dm * mult.astype(ftype), cell, num_segments=n_cell
+            ) / m_d_cell
             env["pred_qv"] = env["pred_qv"] + delta_rv
             dthd = f.state_variable_triplet.dthd_dt(
                 rhod=env["rhod"],
@@ -84,11 +123,6 @@ class VapourDepositionOnIce:
             ) * dt
             env["pred_thd"] = env["pred_thd"] + dthd
 
-            # explicit Euler growth in the diffusion coordinate
-            x_old = f.diffusion_coordinate.x(ice_mass)
-            dx_dt = f.diffusion_coordinate.dx_dt(ice_mass, dm_dt)
-            x_new = x_old + dt * dx_dt
-            new_mass = f.diffusion_coordinate.mass(x_new)
             signed_mass = jnp.where(active, -new_mass, signed_mass)
 
             particles = particles.set_ext("signed water mass", signed_mass)

@@ -24,6 +24,7 @@ Isotope multibox:          rozanski_and_sonntag_1982
 """
 
 from . import (
+    abade_and_albuquerque_2024,
     abdul_razzak_ghan_2000,
     arabas_and_shima_2017,
     alpert_and_knopf_2016,
@@ -52,6 +53,7 @@ from . import (
     seeding,
     shima_et_al_2009,
     shipway_and_hill_2012,
+    spichtinger_et_al_2023,
     srivastava_1982,
     thesis_benchmarks,
     van_hook_1968,

@@ -74,6 +74,7 @@ from .ambient_thermodynamics import (
     AmbientTemperature,
     AmbientPressure,
     AmbientRelativeHumidity,
+    AmbientRelativeHumidityWrtIce,
     AmbientDryAirDensity,
     AmbientDryAirPotentialTemperature,
     AmbientWaterVapourMixingRatio,

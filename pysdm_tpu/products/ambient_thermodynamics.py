@@ -43,6 +43,26 @@ class AmbientRelativeHumidity(_EnvProduct):
         return value * 100 if self.unit == "%" else value
 
 
+class AmbientRelativeHumidityWrtIce(_EnvProduct):
+    """RH with respect to ice saturation: RH * pvs_water(T)/pvs_ice(T)
+    (reference mixed-phase ``Moist`` variable set / ``physics_methods.py``
+    ``a_w_ice`` family)"""
+
+    env_key = "RH"
+
+    def __init__(self, name=None, unit="dimensionless"):
+        super().__init__(name=name or "RH_ice", unit=unit)
+
+    def _impl(self, **kwargs):
+        import numpy as np
+
+        T = np.asarray(self.particulator.get_env("T"))
+        RH = np.asarray(self.particulator.get_env("RH"))
+        svp = self.particulator.formulae.saturation_vapour_pressure
+        value = RH * np.asarray(svp.pvs_water(T)) / np.asarray(svp.pvs_ice(T))
+        return value * 100 if self.unit == "%" else value
+
+
 class AmbientDryAirDensity(_EnvProduct):
     env_key = "rhod"
 
