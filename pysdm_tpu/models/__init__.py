@@ -29,6 +29,7 @@ from . import (
     arabas_and_shima_2017,
     alpert_and_knopf_2016,
     arabas_et_al_2015,
+    arabas_et_al_2025,
     bartman_et_al_2021,
     berry_1967,
     dejong_mackay_et_al_2023,
@@ -53,6 +54,7 @@ from . import (
     seeding,
     shima_et_al_2009,
     shipway_and_hill_2012,
+    singer_ward,
     spichtinger_et_al_2023,
     srivastava_1982,
     thesis_benchmarks,
