@@ -99,6 +99,11 @@ class Collision:
         builder.add_counter("collision_rate_deficit", n_cell, ftype)
         builder.add_counter("coalescence_rate", n_cell, rate_dtype)
         builder.add_counter("collision_n_substep", n_cell, jnp.int32)
+        # precision sentinel: largest single-step per-cell rate sum observed
+        # (sums beyond 2^24 are no longer exact in the f32 accumulation
+        # pipeline — reference uses exact i64 atomics; see
+        # ops.collisions.accumulate_counter)
+        builder.add_counter("rate_step_sum_max", 1, jnp.float32)
         if self.enable_breakup:
             builder.add_counter("breakup_rate", n_cell, ftype)
             builder.add_counter("breakup_rate_deficit", n_cell, ftype)
@@ -227,7 +232,8 @@ class Collision:
                     ("coalescence_rate", coal),
                 ):
                     counters[cname] = coll_ops.accumulate_counter(
-                        counters[cname], row, cell_start, n_cell
+                        counters[cname], row, cell_start, n_cell,
+                        counters=counters,
                     )
                 particles = particles.replace(
                     multiplicity=mult_s, extensive=ext_s

@@ -292,9 +292,11 @@ def collision_coalescence_breakup(
 
     if counters is not None:
         counters["breakup_rate"] = accumulate_counter(
-            counters["breakup_rate"], rate, cell_start, n_cell
+            counters["breakup_rate"], rate, cell_start, n_cell,
+            counters=counters,
         )
         counters["breakup_rate_deficit"] = accumulate_counter(
-            counters["breakup_rate_deficit"], deficit, cell_start, n_cell
+            counters["breakup_rate_deficit"], deficit, cell_start, n_cell,
+            counters=counters,
         )
     return mult_out, ext_out, counters

@@ -149,14 +149,21 @@ def _cell_start_of(sorted_cell, n_cell):
     ).astype(jnp.int32)
 
 
-def accumulate_counter(counter, values, cell_start, n_cell):
+def accumulate_counter(counter, values, cell_start, n_cell, counters=None):
     """add per-cell sums of ``values`` to a rate counter. The sum runs in
     float32 regardless of the counter dtype: an int64 cumsum costs ~1.1 ms per
     2^20 slots on TPU v5e (emulated) vs ~0.2 ms in f32, and rate counters are
     diagnostics (exact below 2^24 events per readout; ~1e-7 relative beyond —
     the reference accumulates exactly via int64 atomics,
-    ``collisions_methods.py:523-560``)."""
+    ``collisions_methods.py:523-560``). When the ``counters`` dict carries a
+    ``rate_step_sum_max`` slot, the largest per-step per-cell sum is recorded
+    there so readouts can flag precision loss (sums past 2^24 are no longer
+    f32-exact)."""
     s = sorted_segment_sum(values.astype(jnp.float32), cell_start, n_cell)
+    if counters is not None and "rate_step_sum_max" in counters:
+        counters["rate_step_sum_max"] = jnp.maximum(
+            counters["rate_step_sum_max"], s.max()
+        )
     if jnp.issubdtype(counter.dtype, jnp.integer):
         return counter + jnp.round(s).astype(counter.dtype)
     return counter + s.astype(counter.dtype)
@@ -189,12 +196,14 @@ def compute_gamma(
             jnp.where(is_first, rate, 0.0),
             cell_start,
             n_cell,
+            counters=counters,
         )
         counters["collision_rate_deficit"] = accumulate_counter(
             counters["collision_rate_deficit"],
             jnp.where(is_first, deficit, 0.0),
             cell_start,
             n_cell,
+            counters=counters,
         )
     return gamma, counters
 
@@ -242,7 +251,8 @@ def coalesce(
             is_first, g.astype(jnp.float32) * mk.astype(jnp.float32), 0.0
         )
         counters["coalescence_rate"] = accumulate_counter(
-            counters["coalescence_rate"], coal, cell_start, n_cell
+            counters["coalescence_rate"], coal, cell_start, n_cell,
+            counters=counters,
         )
 
     # map (j, k) results back to slots (p, p+1)

@@ -1,7 +1,12 @@
 """Collision-rate products (parity: reference ``PySDM/products/collision/``);
 counters are accumulated deterministically inside the collision step."""
 
+import warnings
+
 from .impl import Product
+
+#: largest integer the f32 rate-accumulation pipeline represents exactly
+F32_EXACT_MAX = float(2**24)
 
 
 class _CounterProduct(Product):
@@ -9,10 +14,27 @@ class _CounterProduct(Product):
 
     def __init__(self, name=None, unit="s^-1"):
         super().__init__(name=name or self.counter_name, unit=unit)
+        self._precision_warned = False
 
     def _impl(self, **kwargs):
         vals = self.particulator.get_counter(self.counter_name)
         self.particulator.reset_counter(self.counter_name)
+        if not self._precision_warned:
+            try:
+                step_max = float(
+                    self.particulator.get_counter("rate_step_sum_max")[0]
+                )
+            except KeyError:
+                step_max = 0.0
+            if step_max > F32_EXACT_MAX:
+                self._precision_warned = True
+                warnings.warn(
+                    f"per-step per-cell rate sums reached {step_max:.3g} >"
+                    f" 2^24: the f32 rate-counter accumulation is no longer"
+                    f" exact (~1e-7 relative error; reference uses i64"
+                    f" atomics) — read products more often or reduce"
+                    f" multiplicities to restore exactness"
+                )
         return vals
 
 

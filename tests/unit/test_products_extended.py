@@ -293,3 +293,46 @@ def test_chemistry_spectrum_products():
     np.testing.assert_allclose(dmr, expected, rtol=1e-5)
     spec = particulator.products["aqueous S_VI mass spectrum"].get()
     assert spec.shape[-1] == 6 and np.all(spec >= 0) and spec.sum() > 0
+
+
+class TestRateCounterPrecisionGuard:
+    """f32 rate-accumulation precision sentinel (``rate_step_sum_max``):
+    when a single step's per-cell event sum exceeds 2^24 the rate products
+    warn about the ~1e-7 relative accumulation error (the reference
+    accumulates exactly via i64 atomics, ``collisions_methods.py:523-560``)"""
+
+    @staticmethod
+    def _run_box(multiplicity_scale):
+        import warnings as w
+
+        from pysdm_tpu.dynamics import Coalescence
+        from pysdm_tpu.dynamics.collisions.collision_kernels import Golovin
+
+        f = Formulae(seed=44)
+        env = Box(dv=1e6 * si.m**3, dt=1.0 * si.s)
+        n_sd = 64
+        builder = Builder(n_sd=n_sd, backend=CPU(f), environment=env)
+        builder.add_dynamic(
+            Coalescence(collision_kernel=Golovin(b=1.5e3), adaptive=False)
+        )
+        rate_product = prod.CollisionRatePerGridbox()
+        x0 = float(f.trivia.volume(radius=30.531 * si.um))
+        rng = np.random.default_rng(44)
+        attributes = {
+            "volume": x0 * (1 + rng.random(n_sd)),
+            "multiplicity": np.full(n_sd, multiplicity_scale),
+        }
+        particulator = builder.build(attributes, products=(rate_product,))
+        particulator.run(2)
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            rate_product.get()
+        return [str(c.message) for c in caught]
+
+    def test_warns_past_f32_exact_range(self):
+        messages = self._run_box(multiplicity_scale=1e12)
+        assert any("2^24" in m for m in messages)
+
+    def test_silent_in_exact_range(self):
+        messages = self._run_box(multiplicity_scale=1e3)
+        assert not any("2^24" in m for m in messages)
