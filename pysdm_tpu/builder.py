@@ -124,6 +124,16 @@ class Builder:
         for dynamic in particulator.dynamics.values():
             dynamic.register(self)
 
+        # products register before the state is assembled so that the
+        # attributes they request get backing rows (reference builder.py
+        # registers products before ParticleAttributesFactory too,
+        # ``builder.py:133-148``)
+        for product in products:
+            product.register(self)
+            if product.name in particulator.products:
+                raise ValueError(f"duplicate product name: {product.name}")
+            particulator.products[product.name] = product
+
         extensive = {}
         maximum = {}
         for name, value in attributes.items():
@@ -141,6 +151,20 @@ class Builder:
                 if cname in ("signed water mass",):
                     raise ValueError("water mass / volume must be initialised")
                 extensive[cname] = np.zeros(multiplicity.shape[0])
+        # stateful derived attributes need a backing per-particle row,
+        # initialised to NaN ("not yet recorded") as in the reference
+        # (``attributes/ice/cooling_rate.py:20-22``,
+        # ``ice/freezing_temperature.py`` TemperatureOfLastFreezing)
+        if "cooling rate" in self.requested_attributes:
+            self.requested_attributes.add("cooling rate prev T")
+        for name in self.requested_attributes:
+            if name in MAXIMUM_NAMES and name not in maximum:
+                if name == "freezing temperature":
+                    raise ValueError(
+                        "freezing temperature must be initialised"
+                        " (spectro-glacial sampling)"
+                    )
+                maximum[name] = np.full(multiplicity.shape[0], np.nan)
 
         particles = make_particle_state(
             multiplicity=multiplicity,
@@ -153,6 +177,7 @@ class Builder:
             dtype=dtype,
         )
 
+        particulator._resolver.dt = particulator.dt
         env_state = self.environment.init_env_state(dtype)
         for name, value in self._extra_env.items():
             env_state[name] = jnp.asarray(value, dtype=dtype)
@@ -183,6 +208,20 @@ class Builder:
             named_step_fns.append(
                 ("EnvCommit", self.environment.make_commit_step(particulator))
             )
+        if "cooling rate" in self.requested_attributes:
+            # record this step's committed ambient T per particle, so the
+            # next step's "cooling rate" reads (T_prev - T_now)/dt — the
+            # reference's CoolingRate.notify() observer
+            # (``attributes/ice/cooling_rate.py:23-29``)
+            def record_prev_T(sim):
+                p = sim["particles"]
+                p = p.set_max(
+                    "cooling rate prev T",
+                    sim["env"]["T"][p.cell_id].astype(dtype),
+                )
+                return {**sim, "particles": p}
+
+            named_step_fns.append(("CoolingRatePrevT", record_prev_T))
         step_fns = [fn for _, fn in named_step_fns]
         # opt-in per-dynamic dispatch mode (one jit per dynamic) — lets
         # DynamicWallTime observe real per-dynamic splits that the fused
@@ -203,11 +242,5 @@ class Builder:
             return jax.lax.fori_loop(0, n, lambda _, s: full_step(s), sim)
 
         particulator._multi_step_fn = jax.jit(multi_step)
-
-        for product in products:
-            product.register(self)
-            if product.name in particulator.products:
-                raise ValueError(f"duplicate product name: {product.name}")
-            particulator.products[product.name] = product
 
         return particulator

@@ -137,6 +137,21 @@ class Freezing:
                     thaw=thaw,
                 )
             particles = particles.set_ext("signed water mass", signed_mass)
+            if particles.has_max("temperature of last freezing"):
+                # record the ambient T at the freezing event; reset to NaN on
+                # thaw (reference ``freezing_methods.py``
+                # record_freezing_temperatures, run as the
+                # TemperatureOfLastFreezing observer each step)
+                rec = particles.max_attr("temperature of last freezing")
+                unfrozen = formulae.trivia.unfrozen(signed_mass)
+                rec = jnp.where(
+                    unfrozen,
+                    jnp.nan,
+                    jnp.where(jnp.isnan(rec), T_drop, rec),
+                )
+                particles = particles.set_max(
+                    "temperature of last freezing", rec
+                )
             return {**sim, "particles": particles, "key": key}
 
         return step

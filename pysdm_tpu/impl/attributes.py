@@ -36,7 +36,21 @@ EXTENSIVE_NAMES = (
     "moles_H2O2",
 )
 
-MAXIMUM_NAMES = ("freezing temperature",)
+MAXIMUM_NAMES = (
+    "freezing temperature",
+    # time-dependent-freezing record of the ambient T at the freezing event
+    # (reference ``attributes/ice/freezing_temperature.py``
+    # TemperatureOfLastFreezing); NaN while unfrozen. Carried as a maximum
+    # row: colliding pairs share a cell so fmax-merge of the recorded cell
+    # temperatures is the natural tie-break, and fmax ignores the NaN of an
+    # unfrozen partner.
+    "temperature of last freezing",
+    # previous-step ambient T per particle, backing the "cooling rate"
+    # derived attribute (reference ``attributes/ice/cooling_rate.py``
+    # keeps the same per-particle prev-T array). Max-merge is exact:
+    # colliding pairs are in the same cell, so their prev-T agree.
+    "cooling rate prev T",
+)
 
 
 def canonical_ext_name(name):
@@ -48,6 +62,7 @@ class AttributeResolver:
 
     def __init__(self, formulae):
         self.formulae = formulae
+        self.dt = None  # set by Builder.build (needed for "cooling rate")
 
     def get(self, state, name, env=None):
         f = self.formulae
@@ -180,11 +195,72 @@ class AttributeResolver:
             return f.trivia.isotopic_ratio_2_delta(
                 ratio, getattr(f.constants, f"VSMOW_R_{heavy}")
             )
-        if name.startswith("conc_"):
+        if name.startswith("conc_") and name != "conc_H":
             # aqueous concentration = mole amount / droplet (liquid) volume
             return state.ext("moles_" + name[len("conc_"):]) / self.get(
                 state, "volume"
             )
+        if name == "cooling rate":
+            # (T_prev - T_now)/dt, positive while cooling; zero unless the
+            # particle changed cell (or the ambient T itself changed) since
+            # the previous step (reference ``attributes/ice/cooling_rate.py``
+            # recalculate: data = (env_T[cell] - prev_T) / -dt). NaN on the
+            # first step, before any prev-T has been recorded — as in the
+            # reference (prev_T initialised to NaN).
+            if env is None:
+                raise KeyError("cooling rate requires the env (cell T)")
+            prev_T = state.max_attr("cooling rate prev T")
+            return (prev_T - env["T"][state.cell_id]) / self.dt
+        if name == "moles light water":
+            # moles of the light isotopologue (1H2 16O) backed out of the
+            # total water mass by subtracting the heavy-isotopologue masses
+            # (reference ``attributes/isotopes/moles.py`` MolesLightWater)
+            const = f.constants
+            M_H2O = 2 * const.M_1H + const.M_16O
+            mass = self.get(state, "water mass")
+            for heavy, M_heavy in (
+                ("2H", const.M_1H + const.M_2H + const.M_16O),
+                ("3H", const.M_1H + const.M_3H + const.M_16O),
+                ("17O", 2 * const.M_1H + const.M_17O),
+                ("18O", 2 * const.M_1H + const.M_18O),
+            ):
+                if state.has_ext(f"moles_{heavy}"):
+                    mass = mass - state.ext(f"moles_{heavy}") * M_heavy
+            return mass / M_H2O
+        if name == "pH":
+            # equilibrium hydrogen-ion concentration from electroneutrality
+            # (reference ``attributes/chemistry/acidity.py`` — delegates to
+            # the same per-drop log-space bisection the AqueousChemistry
+            # dynamic uses)
+            from ..dynamics.impl import chemistry_utils as chem
+            from ..ops import chemistry as chem_ops
+
+            if env is None:
+                raise KeyError("pH requires the env (cell T)")
+            alive = state.multiplicity > 0
+            volume = self.get(state, "volume")
+            safe_vol = jnp.where(alive, volume, jnp.ones_like(volume))
+            conc = {
+                key: state.ext(f"moles_{key}") / safe_vol
+                for key in chem.AQUEOUS_COMPOUNDS
+                if len(chem.AQUEOUS_COMPOUNDS[key]) > 1
+            }
+            eq = {
+                k: v.at(env["T"])[state.cell_id]
+                for k, v in chem.equilibrium_consts(f).items()
+            }
+            H = chem_ops.equilibrate_H(
+                conc=conc,
+                K_drop=eq,
+                K_H2O=f.constants.K_H2O,
+                H_min=float(f.trivia.pH2H(14.0)),
+                H_max=float(f.trivia.pH2H(-1.0)),
+            )
+            return f.trivia.H2pH(H)
+        if name == "conc_H":
+            # hydrogen-ion concentration derived from pH (reference
+            # ``attributes/chemistry/hydrogen_ion_concentration.py``)
+            return f.trivia.pH2H(self.get(state, "pH", env))
         if name in ("terminal velocity", "relative fall velocity"):
             # relative fall velocity equals terminal velocity unless the
             # RelaxedVelocity dynamic maintains a momentum attribute

@@ -47,6 +47,14 @@ class ParticleState:
     def max_attr(self, name):
         return self.maximum[self.max_names.index(name)]
 
+    def has_max(self, name):
+        return name in self.max_names
+
+    def set_max(self, name, value):
+        return self.replace(
+            maximum=self.maximum.at[self.max_names.index(name)].set(value)
+        )
+
     def permute(self, order):
         """reorder all per-particle arrays by ``order``. NOTE: TPU gathers run
         element-at-a-time (~13 ms per 2^20 f32 on v5e) — hot paths should ride

@@ -269,7 +269,10 @@ def coalesce(
     a_x, b_x = max_s, pair_roll(max_s, axis=1)
     xj = jnp.where(j_is_a[None, :], a_x, b_x)
     xk = jnp.where(j_is_a[None, :], b_x, a_x)
-    merged_x = jnp.maximum(xj, xk)
+    # fmax, not maximum: NaN marks "not recorded" for rows like temperature
+    # of last freezing / cooling-rate prev-T — an unrecorded partner must not
+    # poison the survivor's value
+    merged_x = jnp.fmax(xj, xk)
     # droplets that absorbed anything (g>0) take the pair max; in the split
     # case both halves descend from the same merged droplet
     collided = (g > 0)[None, :]

@@ -177,26 +177,19 @@ class FreezableSpecificConcentration(Product):
         return self.shape
 
 
-class CoolingRate(Product):
-    """number-averaged cooling rate -dT/dt per cell (reference
-    ``cooling_rate.py``). The reference recomputes per particle every step
-    against the particle's previous-step cell temperature; with the chunked
-    jitted run loop this product reports the cell cooling rate averaged over
-    the steps elapsed since the previous read."""
+class CoolingRate(MomentProduct):
+    """number-averaged per-particle cooling rate per cell (reference
+    ``products/freezing/cooling_rate.py`` — rank-1 moment of the
+    "cooling rate" attribute, which compares each particle's current cell T
+    against the cell T it saw on the previous step)."""
 
     def __init__(self, name=None, unit="K/s"):
         super().__init__(name=name or "cooling rate", unit=unit)
-        self._prev_T = None
-        self._steps_at_last_read = 0
+
+    def register(self, builder):
+        builder.request_attribute("cooling rate")
+        super().register(builder)
 
     def _impl(self, **kwargs):
-        p = self.particulator
-        T = np.asarray(p.get_env("T")).copy()
-        steps = max(p.n_steps - self._steps_at_last_read, 1)
-        if self._prev_T is None:
-            rate = np.zeros_like(T)
-        else:
-            rate = -(T - self._prev_T) / (steps * p.dt)
-        self._prev_T = T
-        self._steps_at_last_read = p.n_steps
-        return rate
+        m0, mean = self._download_moment(attr="cooling rate", rank=1)
+        return mean
