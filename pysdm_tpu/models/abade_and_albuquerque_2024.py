@@ -39,6 +39,7 @@ class Settings:
         enable_immersion_freezing: bool = True,
         enable_vapour_deposition_on_ice: bool = True,
         inp_frac: float = 0.1,
+        seed: int = None,
     ):
         self.n_sd = n_sd
         self.timestep = timestep
@@ -51,6 +52,7 @@ class Settings:
 
         # parameters from the paper
         self.formulae = Formulae(
+            seed=seed,
             constants={
                 "bulk_phase_partitioning_exponent": 0.1,
                 "NIEMAND_A": -0.517,

@@ -60,7 +60,7 @@ class TestAbadeAndAlbuquerque2024:
     @pytest.fixture(scope="class")
     def output(self):
         settings = abade_and_albuquerque_2024.Settings(
-            n_sd=64, timestep=10.0
+            n_sd=64, timestep=10.0, seed=44
         )
         sim = abade_and_albuquerque_2024.Simulation(settings)
         out = sim.run(nt=700, steps_per_output_interval=50)["products"]
