@@ -97,12 +97,23 @@ class VapourDepositionOnIce:
             # evolves — the static mesh dv would leak water there), dv*rhod
             # on fixed Eulerian grids
             m_d_cell = env.get("m_d", dv * env["rhod"])
+            avail = jnp.maximum(env["qv"] - qv_sat_ice, 0.0)
+            # pre-cap each drop's growth at the cell's ENTIRE vapour excess:
+            # in a log coordinate the explicit-Euler mass of a freshly
+            # nucleated crystal can overflow exp() to inf, and inf * the
+            # limiter's zero scale would turn into NaN (observed as a
+            # one-in-2^52 rounding-dependent blow-up in the Abade &
+            # Albuquerque glaciation run). The cap keeps dm finite; the
+            # budget limiter below then scales the cell total exactly.
+            cap = (avail * m_d_cell)[cell] / jnp.maximum(
+                mult.astype(ftype), jnp.ones((), ftype)
+            )
+            dm = jnp.where(dm > 0, jnp.minimum(dm, cap), dm)
             demand = jax.ops.segment_sum(
                 jnp.maximum(dm, 0.0) * mult.astype(ftype),
                 cell,
                 num_segments=n_cell,
             ) / m_d_cell
-            avail = jnp.maximum(env["qv"] - qv_sat_ice, 0.0)
             scale = jnp.where(
                 demand > avail, avail / jnp.maximum(demand, 1e-300), 1.0
             )

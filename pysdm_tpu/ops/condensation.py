@@ -42,10 +42,27 @@ def make_condensation_solver(
     RH_rtol=1e-7,
     max_iters=16,
     bisect_iters=64,
+    use_pallas=None,
 ):
     """build the jit-traceable condensation step closed over formulae/config"""
     f = formulae
     const = f.constants
+
+    from .pallas.scan import _interpret_mode, _use_pallas
+
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    fused_masses_new = None
+    if use_pallas:
+        from .pallas.condensation import make_fused_masses_new
+
+        fused_masses_new = make_fused_masses_new(
+            f,
+            rtol_x=rtol_x,
+            RH_rtol=RH_rtol,
+            max_iters=max_iters,
+            bisect_iters=bisect_iters,
+        )
     if dt_range[1] > dt:
         dt_range = (dt_range[0], dt)
     n_substeps_max = int(dt // dt_range[0])
@@ -155,7 +172,14 @@ def make_condensation_solver(
         x_new = jnp.where(need_solve & bracketed, 0.5 * (lo + hi), x_old)
         mass_new = f.diffusion_coordinate.mass(x_new)
         mass_new = jnp.where(active, mass_new, water_mass)
-        return mass_new, success_drop | ~active
+        # failure detection (reference ``condensation_methods.py:670-696``
+        # raises on solver failure; here it is a counted per-cell failure):
+        # a non-finite root — the solve sits on a numerical cliff, e.g. a
+        # sub-attogram haze drop whose log-coordinate bracket explodes —
+        # must not poison the state; keep the old mass and flag the drop
+        finite = jnp.isfinite(mass_new)
+        mass_new = jnp.where(finite, mass_new, water_mass)
+        return mass_new, (success_drop & finite) | ~active
 
     def compute_cell_thermo(thd, qv, rhod, air_density, air_viscosity):
         T = f.state_variable_triplet.T(rhod, thd)
@@ -184,6 +208,7 @@ def make_condensation_solver(
         ftype = thd.dtype
         act = cell_active
         dt_sub = dt_sub_cell
+        thd0, qv0, rhod0 = thd, qv, rhod  # rollback state on failure
         thd = jnp.where(act, thd + dt_sub * dthd_dt_pred / 2, thd)
         qv = jnp.where(act, qv + dt_sub * dqv_dt_pred / 2, qv)
         rhod = jnp.where(act, rhod + dt_sub * drhod_dt / 2, rhod)
@@ -202,14 +227,24 @@ def make_condensation_solver(
         thd_d, qv_d, rhod_d, dt_sub_d, act_d, rho_d, mu_d = (
             pack_d[:, i] for i in range(7)
         )
-        T_d, p_d, RH_d, lv_d, pvs_d, DTp_d, KTp_d, Sc_d = compute_cell_thermo(
-            thd_d, qv_d, rhod_d, rho_d, mu_d
-        )
-        mass_new, success_drop = calculate_masses_new(
-            attrs=attrs, dt_sub=dt_sub_d, active_drop=act_d > 0,
-            T=T_d, p=p_d, RH=RH_d, lv=lv_d, pvs=pvs_d, DTp=DTp_d, KTp=KTp_d,
-            Sc=Sc_d,
-        )
+        if fused_masses_new is not None:
+            # fused Pallas fast path: per-drop thermo + Koehler + bracket +
+            # bisection in one VMEM-resident pass (ops/pallas/condensation.py)
+            mass_new, success_drop = fused_masses_new(
+                attrs["water_mass"], attrs["vdry"], attrs["kappa"],
+                attrs["f_org"], attrs["reynolds_number"],
+                thd_d, qv_d, rhod_d, dt_sub_d, act_d, rho_d, mu_d,
+                interpret=_interpret_mode(),
+            )
+        else:
+            T_d, p_d, RH_d, lv_d, pvs_d, DTp_d, KTp_d, Sc_d = (
+                compute_cell_thermo(thd_d, qv_d, rhod_d, rho_d, mu_d)
+            )
+            mass_new, success_drop = calculate_masses_new(
+                attrs=attrs, dt_sub=dt_sub_d, active_drop=act_d > 0,
+                T=T_d, p=p_d, RH=RH_d, lv=lv_d, pvs=pvs_d, DTp=DTp_d,
+                KTp=KTp_d, Sc=Sc_d,
+            )
         ml_new = sorted_segment_sum(
             jnp.where(mass_new > 0, mult_f * mass_new, 0.0), cell_start, n_cell
         )
@@ -226,7 +261,18 @@ def make_condensation_solver(
         fails = sorted_segment_sum(
             (~success_drop).astype(jnp.float32), cell_start, n_cell
         )
-        success_cell = (fails == 0) | ~act
+        # failure detection at the cell-coupling level (the reference raises
+        # "Condensation failed", ``dynamics/condensation.py:110-111``; here
+        # the cell is rolled back to its substep-entry state and counted):
+        # a non-finite thd/qv — the trapezoidal correction sitting on a
+        # numerical cliff — must not poison subsequent substeps
+        finite_cell = (
+            jnp.isfinite(thd) & jnp.isfinite(qv) & jnp.isfinite(rhod)
+        )
+        thd = jnp.where(finite_cell, thd, thd0)
+        qv = jnp.where(finite_cell, qv, qv0)
+        rhod = jnp.where(finite_cell, rhod, rhod0)
+        success_cell = ((fails == 0) & finite_cell) | ~act
 
         zeros_cell = jnp.zeros(n_cell, ftype)
         if fake:
