@@ -89,15 +89,21 @@ def make_fused_masses_new(
         pv = f.state_variable_triplet.pv(p, qv)
         lv = f.latent_heat_vapourisation.lv(T)
         pvs = f.saturation_vapour_pressure.pvs_water(T)
-        DTp = jnp.broadcast_to(jnp.asarray(f.diffusion_thermics.D(T, p)), T.shape)
-        KTp = jnp.broadcast_to(jnp.asarray(f.diffusion_thermics.K(T, p)), T.shape)
+        # constant-returning variants yield python floats -> f64 under the
+        # package-global x64 mode; Mosaic only lowers <=32-bit, so pin f32
+        DTp = jnp.broadcast_to(
+            jnp.asarray(f.diffusion_thermics.D(T, p), jnp.float32), T.shape
+        )
+        KTp = jnp.broadcast_to(
+            jnp.asarray(f.diffusion_thermics.K(T, p), jnp.float32), T.shape
+        )
         RH = pv / pvs
         Sc = f.trivia.air_schmidt_number(
             dynamic_viscosity=mu_a, diffusivity=DTp, density=rho_a
         )
 
         active = (wm > 0) & act_d
-        safe_mass = jnp.where(active, wm, 1e-18)
+        safe_mass = jnp.where(active, wm, jnp.float32(1e-18))
         v_drop = f.particle_shape_and_density.mass_to_volume(safe_mass)
         x_old = f.diffusion_coordinate.x(safe_mass)
         r_old = f.trivia.radius(v_drop)
@@ -147,7 +153,10 @@ def make_fused_masses_new(
             fb = jnp.where(not_bracketed, fb_try, fb)
             return b, fb
 
-        b, fb = jax.lax.fori_loop(0, max_iters, expand_body, (b, fb))
+        # i32 loop bounds: python-int bounds become i64 counters under x64
+        b, fb = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(max_iters), expand_body, (b, fb)
+        )
         bracketed = fa * fb < 0
         success = ~need_solve | bracketed
 
@@ -168,7 +177,7 @@ def make_fused_masses_new(
             return lo_new, hi, flo
 
         lo, hi, _ = jax.lax.fori_loop(
-            0, bisect_iters, bisect_body, (lo, hi, flo)
+            jnp.int32(0), jnp.int32(bisect_iters), bisect_body, (lo, hi, flo)
         )
         x_new = jnp.where(need_solve & bracketed, 0.5 * (lo + hi), x_old)
         mass_new = f.diffusion_coordinate.mass(x_new)
