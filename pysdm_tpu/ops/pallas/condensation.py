@@ -164,20 +164,33 @@ def make_fused_masses_new(
         hi = jnp.maximum(a, b)
         flo = jnp.where(a <= b, fa, fb)
 
-        # fixed-count bisection (the GPU backend's root find,
-        # ``impl_thrust_rtc/bisection.py``) — all iterations in VMEM
-        def bisect_body(_, carry):
-            lo, hi, flo = carry
+        # bisection with block-level early exit (the GPU backend's root
+        # find, ``impl_thrust_rtc/bisection.py``) — all iterations in VMEM.
+        # The f32 interval collapses to machine epsilon in ~30 halvings, so
+        # the while exits long before the configured f64-sized cap.
+        solving = need_solve & bracketed
+
+        def bisect_cond(carry):
+            i, lo, hi, _ = carry
+            unconverged = solving & ~f.trivia.within_tolerance(
+                hi - lo,
+                jnp.abs(jnp.where(x_old != 0, x_old, jnp.float32(1.0))),
+                rtol_x,
+            )
+            return (i < bisect_iters) & jnp.any(unconverged)
+
+        def bisect_body(carry):
+            i, lo, hi, flo = carry
             mid = 0.5 * (lo + hi)
             fmid = minfun(mid, *margs)
             go_lo = flo * fmid < 0
             hi = jnp.where(go_lo, mid, hi)
             lo_new = jnp.where(go_lo, lo, mid)
             flo = jnp.where(go_lo, flo, fmid)
-            return lo_new, hi, flo
+            return i + 1, lo_new, hi, flo
 
-        lo, hi, _ = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(bisect_iters), bisect_body, (lo, hi, flo)
+        _, lo, hi, _ = jax.lax.while_loop(
+            bisect_cond, bisect_body, (jnp.int32(0), lo, hi, flo)
         )
         x_new = jnp.where(need_solve & bracketed, 0.5 * (lo + hi), x_old)
         mass_new = f.diffusion_coordinate.mass(x_new)
