@@ -11,7 +11,13 @@ Configs measured (per BASELINE.json):
    re-run with ``PYSDM_TPU_NO_PALLAS=1`` to record the measured
    Pallas-vs-XLA delta and to cross-check the two paths agree (same RNG
    stream -> same collision outcomes up to f32 rounding).
-2. 2D kinematic warm-rain (Arabas et al. 2015), 25x25 grid, full physics
+2. 0D box + geometric kernel + collisional breakup, 2^17 SDs, 100 steps
+   (BASELINE config #2, ``deJong_Mackay_et_al_2023``): pair-updates/s.
+3. Adiabatic parcel activation, 2^17 SDs, 100 steps (BASELINE config #3,
+   ``Abdul_Razzak_Ghan_2000``/``Pyrcel``-style): droplet-steps/s —
+   exercises the fused Pallas condensation kernel
+   (``ops/pallas/condensation.py``).
+4. 2D kinematic warm-rain (Arabas et al. 2015), 25x25 grid, full physics
    (condensation + MPDATA + displacement/sedimentation + coalescence) —
    the north-star config (reference
    ``examples/PySDM_examples/Arabas_et_al_2015/example_benchmark.py:26-66``;
@@ -148,6 +154,94 @@ def _bench_warm_rain():
     }
 
 
+def _bench_breakup(n_sd, n_steps):
+    """BASELINE config #2: box, geometric kernel + collisional breakup
+    (reference ``examples/PySDM_examples/deJong_Mackay_et_al_2023``);
+    returns pair-updates/s"""
+    from pysdm_tpu import Builder
+    from pysdm_tpu.backends import TPU
+    from pysdm_tpu.dynamics import Collision
+    from pysdm_tpu.environments import Box
+    from pysdm_tpu.initialisation.sampling.spectral_sampling import (
+        ConstantMultiplicity,
+    )
+    from pysdm_tpu.models.dejong_mackay_et_al_2023 import Settings0D
+
+    s = Settings0D(seed=44, warn_overflows=False)
+    s.n_sd = n_sd
+    env = Box(dv=s.dv, dt=s.dt)
+    builder = Builder(n_sd=n_sd, backend=TPU(s.formulae), environment=env)
+    builder.add_dynamic(
+        Collision(
+            collision_kernel=s.kernel,
+            coalescence_efficiency=s.coal_eff,
+            breakup_efficiency=s.break_eff,
+            fragmentation_function=s.fragmentation,
+            adaptive=s.adaptive,
+            warn_overflows=False,
+        )
+    )
+    attributes = {}
+    attributes["volume"], attributes["multiplicity"] = ConstantMultiplicity(
+        s.spectrum
+    ).sample(n_sd)
+    particulator = builder.build(attributes)
+    mult0 = particulator.attributes["multiplicity"]
+    mass0 = float((mult0 * particulator.attributes["water mass"]).sum())
+
+    particulator.run(1)
+    particulator.block_until_ready()
+    t0 = time.perf_counter()
+    particulator.run(n_steps)
+    particulator.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    mult = particulator.attributes["multiplicity"]
+    mass1 = float((mult * particulator.attributes["water mass"]).sum())
+    assert abs(mass1 - mass0) <= 1e-5 * mass0, (mass0, mass1)
+    return (n_sd / 2 * n_steps) / elapsed
+
+
+def _bench_parcel(n_sd, n_steps):
+    """BASELINE config #3: adiabatic parcel activation (reference
+    ``examples/PySDM_examples/Abdul_Razzak_Ghan_2000`` / ``Pyrcel``);
+    returns droplet-steps/s (exercises the fused Pallas condensation
+    kernel on TPU)"""
+    from pysdm_tpu import Builder, Formulae
+    from pysdm_tpu.backends import TPU
+    from pysdm_tpu.dynamics import AmbientThermodynamics, Condensation
+    from pysdm_tpu.environments import Parcel
+    from pysdm_tpu.initialisation.sampling.spectral_sampling import (
+        ConstantMultiplicity,
+    )
+    from pysdm_tpu.initialisation.spectra import Lognormal
+
+    formulae = Formulae(seed=44)
+    env = Parcel(
+        dt=1.0, mass_of_dry_air=1e3, p0=1000e2,
+        initial_water_vapour_mixing_ratio=0.0158, T0=300.0, w=2.0,
+    )
+    builder = Builder(n_sd=n_sd, backend=TPU(formulae), environment=env)
+    builder.add_dynamic(AmbientThermodynamics())
+    builder.add_dynamic(Condensation(adaptive=True))
+    spectrum = Lognormal(norm_factor=1e8 * 1e3, m_mode=50e-9, s_geom=1.5)
+    r_dry, n_in_dv = ConstantMultiplicity(spectrum).sample(n_sd)
+    attributes = env.init_attributes(n_in_dv=n_in_dv, kappa=0.5, r_dry=r_dry)
+    particulator = builder.build(attributes)
+
+    particulator.run(1)
+    particulator.block_until_ready()
+    t0 = time.perf_counter()
+    particulator.run(n_steps)
+    particulator.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    import numpy as np
+
+    assert bool(np.asarray(particulator.get_counter("condensation_success")).all())
+    return n_sd * n_steps / elapsed
+
+
 def child(config):
     if os.environ.get("PYSDM_TPU_BENCH_CPU"):
         import jax
@@ -183,6 +277,12 @@ def child(config):
                 del os.environ["PYSDM_TPU_NO_PALLAS"]
     elif config == "warm_rain":
         out.update(_bench_warm_rain())
+    elif config == "breakup":
+        rate = _bench_breakup(2**17, 100)
+        out["breakup_pair_updates_per_s"] = float(f"{rate:.4g}")
+    elif config == "parcel":
+        rate = _bench_parcel(2**17, 100)
+        out["parcel_droplet_steps_per_s"] = float(f"{rate:.4g}")
     else:
         raise SystemExit(f"unknown config {config}")
     print(json.dumps(out))
@@ -241,13 +341,21 @@ def main():
     # (collision 335 s + condensation 80 s measured per-dynamic); run(1) +
     # run(n) compile two program variants, so give the first attempt room
     warm_rain = _attempt_ladder("warm_rain", (3300, 1800))
+    breakup = _attempt_ladder("breakup", (1500, 900))
+    parcel = _attempt_ladder("parcel", (900, 600))
 
     extra = {}
     extra.update({k: v for k, v in box.items() if k != "box_pair_updates_per_s"})
-    for key, value in warm_rain.items():
-        extra["warm_rain_" + key if key in ("platform", "error",
-                                            "degraded_attempt",
-                                            "prior_errors") else key] = value
+    for name, result in (
+        ("warm_rain", warm_rain), ("breakup", breakup), ("parcel", parcel)
+    ):
+        for key, value in result.items():
+            extra[
+                name + "_" + key
+                if key in ("platform", "error", "degraded_attempt",
+                           "prior_errors")
+                else key
+            ] = value
     rate = box.get("box_pair_updates_per_s", 0.0)
     print(
         json.dumps(
