@@ -38,6 +38,11 @@ XLA path (no Pallas), then to CPU, and finally emits an error JSON line
 rather than nothing.
 
 Measured numbers are recorded in BENCH_r*.json at the repo root.
+
+Measured on the attached TPU v5e chip (2026-08-20, round 3): box config
+2.178e8 pair-updates/s with the fused Pallas coalesce vs 1.530e8 on the
+pure-XLA path — a 1.42x kernel speedup with same-RNG-stream allclose
+between the two paths (``box_pallas_xla_allclose``).
 """
 
 import json
