@@ -318,13 +318,14 @@ def _run_child(config, env_overrides, timeout_s):
     return None, f"rc={proc.returncode}: " + " | ".join(tail)[-500:]
 
 
-def _attempt_ladder(config, timeouts):
+def _attempt_ladder(config, timeouts, retry=True):
     """each benchmark config runs in its own subprocess (a device fault in
     one config cannot take down the others) with per-config degradation:
-    retry once, then XLA-only, then CPU."""
+    retry once (unless ``retry=False`` — heavy configs bound total wall
+    time), then XLA-only, then CPU."""
     attempts = (
         ({}, timeouts[0]),
-        ({}, timeouts[1]),  # retry — transient device faults heal
+        *((({}, timeouts[1]),) if retry else ()),  # transient faults heal
         ({"PYSDM_TPU_NO_PALLAS": "1"}, timeouts[1]),
         ({"PYSDM_TPU_BENCH_CPU": "1"}, timeouts[1]),
     )
@@ -345,8 +346,8 @@ def main():
     # warm-rain full-step XLA compile alone takes ~450 s on the axon tunnel
     # (collision 335 s + condensation 80 s measured per-dynamic); run(1) +
     # run(n) compile two program variants, so give the first attempt room
-    warm_rain = _attempt_ladder("warm_rain", (3300, 1800))
-    breakup = _attempt_ladder("breakup", (1500, 900))
+    warm_rain = _attempt_ladder("warm_rain", (3300, 1800), retry=False)
+    breakup = _attempt_ladder("breakup", (1500, 900), retry=False)
     parcel = _attempt_ladder("parcel", (900, 600))
 
     extra = {}
