@@ -44,5 +44,10 @@ def benchmark(
             particulator.run(n_steps)
             particulator.block_until_ready()
             times[n_sd_per_gridbox] = time.perf_counter() - t0
-        results[backend_class.__name__] = times
+        # CPU is an alias of JaxBackend while TPU subclasses it — label the
+        # sweep rows so CPU and TPU results don't collide in the dict
+        name = "CPU" if backend_class.__name__ == "JaxBackend" else (
+            backend_class.__name__
+        )
+        results[name] = times
     return results
