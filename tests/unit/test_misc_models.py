@@ -64,3 +64,24 @@ class TestIsotopicFractionation:
             np.asarray(particulator.get_attribute("moles_18O")),
             np.full(8, 1e-18),
         )
+
+
+def test_profile_run_reports_per_dynamic_times(tmp_path):
+    from pysdm_tpu.utils.profiling import profile_run
+
+    env = Parcel(
+        dt=1.0, mass_of_dry_air=1e3, p0=1000e2,
+        initial_water_vapour_mixing_ratio=0.015, T0=295.0, w=1.0,
+    )
+    builder = Builder(n_sd=8, backend=CPU(Formulae(seed=4)), environment=env)
+    builder.add_dynamic(AmbientThermodynamics())
+    builder.add_dynamic(Condensation(adaptive=False))
+    attributes = env.init_attributes(
+        n_in_dv=np.full(8, 1e6), kappa=0.5, r_dry=np.full(8, 50e-9)
+    )
+    particulator = builder.build(attributes)
+    times = profile_run(particulator, 3, logdir=tmp_path)
+    assert set(times) >= {"AmbientThermodynamics", "Condensation"}
+    assert all(v > 0 for v in times.values())
+    assert particulator.n_steps == 3
+    assert any(tmp_path.iterdir())  # a trace was captured
