@@ -48,10 +48,17 @@ def make_condensation_solver(
     f = formulae
     const = f.constants
 
+    import os
+
     from .pallas.scan import _interpret_mode, _use_pallas
 
     if use_pallas is None:
-        use_pallas = _use_pallas()
+        # PYSDM_TPU_NO_PALLAS_COND disables just the fused condensation
+        # kernel (keeping the fused coalesce/cumsum) — its Mosaic compile
+        # inside the fully-fused multi-dynamic program is the costly part
+        use_pallas = _use_pallas() and not os.environ.get(
+            "PYSDM_TPU_NO_PALLAS_COND"
+        )
     fused_masses_new = None
     if use_pallas:
         from .pallas.condensation import make_fused_masses_new

@@ -87,13 +87,13 @@ def _u64_mul_u32(g, b_hi, b_lo):
 def _u32_to_f32(x):
     """Mosaic has no u32->f32 cast: go through i32 on halves (x>>1 < 2^31)"""
     return (
-        (x >> 1).astype(jnp.int32).astype(jnp.float32) * 2.0
+        (x >> 1).astype(jnp.int32).astype(jnp.float32) * jnp.float32(2.0)
         + (x & jnp.uint32(1)).astype(jnp.int32).astype(jnp.float32)
     )
 
 
 def _u64_to_f32(hi, lo):
-    return _u32_to_f32(hi) * _TWO32 + _u32_to_f32(lo)
+    return _u32_to_f32(hi) * jnp.float32(_TWO32) + _u32_to_f32(lo)
 
 
 def _u64_half(hi, lo):
@@ -145,8 +145,8 @@ def _coalesce_kernel(
     kn = jnp.where(isf, kn_ref[...], kn_pv_ref[...])
     rand = jnp.where(isf, rand_ref[...], rand_pv_ref[...])
     prob = _u64_to_f32(mj_hi, mj_lo) * kn
-    gamma_f = jnp.maximum(jnp.ceil(prob - rand), 0.0)
-    gamma_f = jnp.where(in_pair, gamma_f, 0.0)
+    gamma_f = jnp.maximum(jnp.ceil(prob - rand), jnp.float32(0.0))
+    gamma_f = jnp.where(in_pair, gamma_f, jnp.float32(0.0))
 
     # gamma = min(gamma_f, floor(mj/mk)): f32 estimate + exact walk
     q_est = jnp.floor(
@@ -155,9 +155,9 @@ def _coalesce_kernel(
     # f32 -> u32 via i32 (values are capped far below 2^31; Mosaic has no
     # direct f32->u32 cast). Clamp to the i32-exact range first.
     big = jnp.float32(2**31 - 128)
-    g_f = jnp.clip(jnp.minimum(q_est, gamma_f), 0.0, big)
+    g_f = jnp.clip(jnp.minimum(q_est, gamma_f), jnp.float32(0.0), big)
     g = g_f.astype(jnp.int32).astype(jnp.uint32)
-    cap = jnp.clip(gamma_f, 0.0, big).astype(jnp.int32).astype(jnp.uint32)
+    cap = jnp.clip(gamma_f, jnp.float32(0.0), big).astype(jnp.int32).astype(jnp.uint32)
     for _ in range(5):
         p_hi, p_lo = _u64_mul_u32(g, mk_hi, mk1_lo)
         too_big = ~_u64_ge(mj_hi, mj_lo, p_hi, p_lo)  # g*mk > mj
@@ -212,9 +212,9 @@ def _coalesce_kernel(
     # the caller; reference atomic counters -> deterministic sums)
     mk_f = _u64_to_f32(mk_hi, mk_lo)
     lead = isf
-    rate_ref[...] = jnp.where(lead, gf * mk_f, 0.0)
-    deficit_ref[...] = jnp.where(lead, (gamma_f - gf) * mk_f, 0.0)
-    coal_ref[...] = jnp.where(lead, gf * mk_f, 0.0)
+    rate_ref[...] = jnp.where(lead, gf * mk_f, jnp.float32(0.0))
+    deficit_ref[...] = jnp.where(lead, (gamma_f - gf) * mk_f, jnp.float32(0.0))
+    coal_ref[...] = jnp.where(lead, gf * mk_f, jnp.float32(0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

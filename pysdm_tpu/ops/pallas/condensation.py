@@ -177,7 +177,13 @@ def make_fused_masses_new(
                 jnp.abs(jnp.where(x_old != 0, x_old, jnp.float32(1.0))),
                 rtol_x,
             )
-            return (i < bisect_iters) & jnp.any(unconverged)
+            # jnp.any() in a Mosaic while-cond lowers through an f64 squeeze
+            # under the package-global x64 mode and fails to compile; an f32
+            # max-reduce compare lowers cleanly
+            still = jnp.max(
+                jnp.where(unconverged, jnp.float32(1.0), jnp.float32(0.0))
+            )
+            return (i < bisect_iters) & (still > jnp.float32(0.5))
 
         def bisect_body(carry):
             i, lo, hi, flo = carry

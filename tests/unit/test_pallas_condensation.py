@@ -61,3 +61,45 @@ def test_fused_activation_sanity(monkeypatch):
     # activated droplets grew well beyond their dry size
     r = np.asarray(p.get_attribute("radius"))
     assert (r > 1e-6).sum() >= p.n_sd // 2
+
+
+def test_kernel_cross_lowers_for_tpu():
+    """AOT-lower the fused kernel for the TPU platform on the CPU host
+    (jax.export) — catches Mosaic lowering regressions (e.g. 64-bit lanes
+    under the package-global x64 mode) without TPU hardware"""
+    import jax
+    import jax.numpy as jnp
+
+    from pysdm_tpu.ops.pallas.condensation import make_fused_masses_new
+
+    fused = make_fused_masses_new(
+        Formulae(seed=44), rtol_x=1e-6, RH_rtol=1e-7,
+        max_iters=16, bisect_iters=64,
+    )
+    n = 32768
+    args = [jnp.ones((n,), jnp.float32) for _ in range(12)]
+    jax.export.export(
+        jax.jit(lambda *a: fused(*a, interpret=False)), platforms=["tpu"]
+    )(*args)
+
+
+def test_coalesce_kernel_cross_lowers_for_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from pysdm_tpu.ops.pallas.collision import fused_coalesce
+
+    n = 32768
+    mult = jnp.ones((n,), jnp.int64)
+    ext = jnp.ones((3, n), jnp.float32)
+    kern = jnp.ones((n,), jnp.float32)
+    rand = jnp.full((n,), 0.5, jnp.float32)
+    isf = jnp.zeros((n,), bool).at[::2].set(True)
+    jax.export.export(
+        jax.jit(
+            lambda m, e, k, r, i: fused_coalesce(
+                m, e, k, r, i, interpret=False
+            )
+        ),
+        platforms=["tpu"],
+    )(mult, ext, kern, rand, isf)

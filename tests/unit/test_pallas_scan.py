@@ -44,3 +44,15 @@ class TestPallasCumsum:
         np.testing.assert_allclose(np.asarray(cumsum(x)), np.arange(1, 101))
         x2 = jnp.ones((4, 100), jnp.float32)
         assert cumsum(x2, axis=-1).shape == (4, 100)
+
+
+def test_cumsum_kernel_cross_lowers_for_tpu():
+    """AOT-lower for TPU on the CPU host (catches Mosaic regressions
+    without hardware)"""
+    from pysdm_tpu.ops.pallas.scan import _cumsum_pallas
+
+    x = jnp.ones((2 * _BLOCK,), jnp.float32)
+    jax.export.export(
+        jax.jit(lambda v: _cumsum_pallas(v, interpret=False)),
+        platforms=["tpu"],
+    )(x)
