@@ -326,6 +326,9 @@ def _attempt_ladder(config, timeouts, retry=True):
     attempts = (
         ({}, timeouts[0]),
         *((({}, timeouts[1]),) if retry else ()),  # transient faults heal
+        # fused coalesce/cumsum on, XLA condensation — the condensation
+        # kernel is the newest and the first to drop if faults appear
+        ({"PYSDM_TPU_NO_PALLAS_COND": "1"}, timeouts[1]),
         ({"PYSDM_TPU_NO_PALLAS": "1"}, timeouts[1]),
         ({"PYSDM_TPU_BENCH_CPU": "1"}, timeouts[1]),
     )
