@@ -164,39 +164,28 @@ def make_fused_masses_new(
         hi = jnp.maximum(a, b)
         flo = jnp.where(a <= b, fa, fb)
 
-        # bisection with block-level early exit (the GPU backend's root
-        # find, ``impl_thrust_rtc/bisection.py``) — all iterations in VMEM.
-        # The f32 interval collapses to machine epsilon in ~30 halvings, so
-        # the while exits long before the configured f64-sized cap.
-        solving = need_solve & bracketed
-
-        def bisect_cond(carry):
-            i, lo, hi, _ = carry
-            unconverged = solving & ~f.trivia.within_tolerance(
-                hi - lo,
-                jnp.abs(jnp.where(x_old != 0, x_old, jnp.float32(1.0))),
-                rtol_x,
-            )
-            # jnp.any() in a Mosaic while-cond lowers through an f64 squeeze
-            # under the package-global x64 mode and fails to compile; an f32
-            # max-reduce compare lowers cleanly
-            still = jnp.max(
-                jnp.where(unconverged, jnp.float32(1.0), jnp.float32(0.0))
-            )
-            return (i < bisect_iters) & (still > jnp.float32(0.5))
-
-        def bisect_body(carry):
-            i, lo, hi, flo = carry
+        # fixed-count bisection (the GPU backend's root find,
+        # ``impl_thrust_rtc/bisection.py``) — all iterations in VMEM. A
+        # block-level early-exit while_loop variant (max-reduce condition —
+        # jnp.any lowers through an f64 squeeze under the global x64 mode)
+        # compiled but produced runtime TPU kernel faults inside the fully
+        # fused warm-rain program; the fixed fori_loop is the
+        # silicon-validated form. The f32 interval collapses to machine
+        # epsilon in ~30 halvings, so the effective cap is iteration count,
+        # not tolerance.
+        def bisect_body(_, carry):
+            lo, hi, flo = carry
             mid = 0.5 * (lo + hi)
             fmid = minfun(mid, *margs)
             go_lo = flo * fmid < 0
             hi = jnp.where(go_lo, mid, hi)
             lo_new = jnp.where(go_lo, lo, mid)
             flo = jnp.where(go_lo, flo, fmid)
-            return i + 1, lo_new, hi, flo
+            return lo_new, hi, flo
 
-        _, lo, hi, _ = jax.lax.while_loop(
-            bisect_cond, bisect_body, (jnp.int32(0), lo, hi, flo)
+        lo, hi, _ = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(min(bisect_iters, 40)),
+            bisect_body, (lo, hi, flo),
         )
         x_new = jnp.where(need_solve & bracketed, 0.5 * (lo + hi), x_old)
         mass_new = f.diffusion_coordinate.mass(x_new)
