@@ -98,17 +98,19 @@ class VapourDepositionOnIce:
             # on fixed Eulerian grids
             m_d_cell = env.get("m_d", dv * env["rhod"])
             avail = jnp.maximum(env["qv"] - qv_sat_ice, 0.0)
-            # pre-cap each drop's growth at the cell's ENTIRE vapour excess:
+            # cap only NON-FINITE growth at the cell's entire vapour excess:
             # in a log coordinate the explicit-Euler mass of a freshly
             # nucleated crystal can overflow exp() to inf, and inf * the
             # limiter's zero scale would turn into NaN (observed as a
             # one-in-2^52 rounding-dependent blow-up in the Abade &
-            # Albuquerque glaciation run). The cap keeps dm finite; the
-            # budget limiter below then scales the cell total exactly.
+            # Albuquerque glaciation run). Large-but-finite demands are left
+            # to the exact proportional budget limiter below, so vapour is
+            # not redistributed toward small drops relative to pure
+            # proportional scaling.
             cap = (avail * m_d_cell)[cell] / jnp.maximum(
                 mult.astype(ftype), jnp.ones((), ftype)
             )
-            dm = jnp.where(dm > 0, jnp.minimum(dm, cap), dm)
+            dm = jnp.where(jnp.isfinite(dm), dm, cap)
             demand = jax.ops.segment_sum(
                 jnp.maximum(dm, 0.0) * mult.astype(ftype),
                 cell,

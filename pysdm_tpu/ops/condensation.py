@@ -63,9 +63,11 @@ def make_condensation_solver(
     if use_pallas:
         from .pallas.condensation import make_fused_masses_new
 
+        # NOTE: the fused kernel runs a fixed min(bisect_iters, 40)-count
+        # bisection — rtol_x does not apply on this path (f32; see
+        # make_fused_masses_new docstring for the semantics difference)
         fused_masses_new = make_fused_masses_new(
             f,
-            rtol_x=rtol_x,
             RH_rtol=RH_rtol,
             max_iters=max_iters,
             bisect_iters=bisect_iters,
@@ -281,20 +283,25 @@ def make_condensation_solver(
         rhod = jnp.where(finite_cell, rhod, rhod0)
         success_cell = ((fails == 0) & finite_cell) | ~act
 
+        # a rolled-back cell must be rolled back IN FULL: its drops keep
+        # their substep-entry masses, else liquid water changes while the
+        # vapour/heat fields are restored and the cell's water and energy
+        # budgets silently diverge (the reference aborts instead)
+        ok_d = finite_cell[jnp.clip(cell_of_drop, 0, n_cell - 1)]
         zeros_cell = jnp.zeros(n_cell, ftype)
         if fake:
             attrs_out = attrs
             n_act = n_deact = n_ripen = zeros_cell
         else:
             attrs_out = {**attrs, "water_mass": jnp.where(
-                act_d > 0, mass_new, attrs["water_mass"]
+                (act_d > 0) & ok_d, mass_new, attrs["water_mass"]
             )}
             # activation-event counting (reference ``calculate_ml_new``,
             # condensation_methods.py:149-161): multiplicity-weighted counts
             # of drops crossing the critical mass during this substep
             mass_old = attrs["water_mass"]
             mass_cr = f.particle_shape_and_density.volume_to_mass(attrs["v_cr"])
-            committed = act_d > 0
+            committed = (act_d > 0) & ok_d
             weight = jnp.where(committed, mult_f, 0.0)
             n_act = sorted_segment_sum(
                 jnp.where((mass_new > mass_cr) & (mass_cr > mass_old), weight, 0.0),
@@ -309,7 +316,7 @@ def make_condensation_solver(
                 cell_start, n_cell,
             )
             n_ripen = jnp.where(n_deact > 0, n_act_growing, zeros_cell)
-        ml_out = jnp.where(act, ml_new, ml_old)
+        ml_out = jnp.where(act & finite_cell, ml_new, ml_old)
         return (attrs_out, thd, qv, rhod, ml_out, RH, success_cell,
                 (n_act, n_deact, n_ripen))
 

@@ -37,7 +37,6 @@ _BLOCK = BLOCK_R * LANES
 def make_fused_masses_new(
     formulae,
     *,
-    rtol_x,
     RH_rtol,
     max_iters,
     bisect_iters,
@@ -45,8 +44,13 @@ def make_fused_masses_new(
     """build the fused (thermo -> Koehler -> bracket -> bisect) kernel,
     closed over the formula variants; mirrors ``ops/condensation.py``
     ``compute_cell_thermo`` + ``calculate_masses_new`` semantics exactly,
-    except the bisection runs a fixed iteration count (no global early
-    exit) — extra iterations only refine the root."""
+    except the bisection runs a FIXED iteration count of
+    ``min(bisect_iters, 40)`` (no early exit, and no ``rtol_x``-based
+    stopping — the f32 interval collapses to machine epsilon in ~30
+    halvings, so a user-configured ``rtol_x`` looser than f32 eps is
+    over-delivered and the convergence semantics differ from the XLA
+    path's rtol_x early-exit while_loop; extra iterations only refine
+    the root)."""
     f = formulae
     const = f.constants
     x_max = float(f.diffusion_coordinate.x_max())

@@ -73,7 +73,7 @@ def test_kernel_cross_lowers_for_tpu():
     from pysdm_tpu.ops.pallas.condensation import make_fused_masses_new
 
     fused = make_fused_masses_new(
-        Formulae(seed=44), rtol_x=1e-6, RH_rtol=1e-7,
+        Formulae(seed=44), RH_rtol=1e-7,
         max_iters=16, bisect_iters=64,
     )
     n = 32768
