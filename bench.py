@@ -1,48 +1,55 @@
-"""Benchmark: SDM throughput on the available device. Prints exactly ONE
-JSON line — always, even when the device is wedged (see Resilience below).
+"""Benchmark: SDM throughput on the available device.
 
-Configs measured (per BASELINE.json):
+Prints a consolidated JSON line (``{"metric", "value", "unit",
+"vs_baseline", "extra"}``) after EVERY config completes — flushed
+immediately — so a driver-side timeout at any point still captures every
+number measured so far (the LAST line is always the most complete
+record). Round-3 lesson: the previous all-or-nothing ``main()`` printed
+only at the very end and the driver timeout captured zero bytes
+(BENCH_r03.json rc=124, empty tail).
 
-1. 0D box, Golovin kernel, exponential spectrum, 2^20 SDs, 100 steps
-   (the reference's headline box case — scaled-up
+Configs, in headline-first order (per BASELINE.json):
+
+1. ``box`` — 0D box, Golovin kernel, exponential spectrum, 2^20 SDs,
+   100 steps (the reference's headline box case — scaled-up
    ``examples/PySDM_examples/Shima_et_al_2009/example.py:50-57``).
-   Primary metric: super-droplet pair-updates/s (n_sd/2 x steps / wall s).
-   On TPU this exercises the fused Pallas coalesce path; the same case is
-   re-run with ``PYSDM_TPU_NO_PALLAS=1`` to record the measured
-   Pallas-vs-XLA delta and to cross-check the two paths agree (same RNG
-   stream -> same collision outcomes up to f32 rounding).
-2. 0D box + geometric kernel + collisional breakup, 2^17 SDs, 100 steps
-   (BASELINE config #2, ``deJong_Mackay_et_al_2023``): pair-updates/s.
-3. Adiabatic parcel activation, 2^17 SDs, 100 steps (BASELINE config #3,
-   ``Abdul_Razzak_Ghan_2000``/``Pyrcel``-style): droplet-steps/s —
-   exercises the fused Pallas condensation kernel
-   (``ops/pallas/condensation.py``).
-4. 2D kinematic warm-rain (Arabas et al. 2015), 25x25 grid, full physics
-   (condensation + MPDATA + displacement/sedimentation + coalescence) —
-   the north-star config (reference
-   ``examples/PySDM_examples/Arabas_et_al_2015/example_benchmark.py:26-66``;
-   the reference harness runs 100 steps at 2^14..2^15 SDs/gridbox with
-   condensation off; here: 2^12 SDs/gridbox = 2.56M SDs, condensation on).
-   Metrics: grid-points/s and pair-updates/s (reported in "extra").
+   Primary metric: super-droplet pair-updates/s. Exercises the fused
+   Pallas coalesce path and re-runs with ``PYSDM_TPU_NO_PALLAS=1`` to
+   record the Pallas-vs-XLA delta + same-RNG cross-check.
+2. ``parcel`` — adiabatic parcel activation, 2^17 SDs, 100 steps
+   (BASELINE config #3): droplet-steps/s — exercises the fused Pallas
+   condensation kernel (``ops/pallas/condensation.py``).
+3. ``breakup`` — box + geometric kernel + collisional breakup, 2^17 SDs,
+   100 steps (BASELINE config #2, ``deJong_Mackay_et_al_2023``).
+4. ``warm_rain`` — 2D kinematic warm-rain (Arabas et al. 2015), 25x25
+   grid, 2^12 SDs/gridbox = 2.56M SDs, full physics — the north-star
+   config (reference
+   ``examples/PySDM_examples/Arabas_et_al_2015/example_benchmark.py:26-66``).
 
-``vs_baseline`` divides by an estimate of the reference's multi-threaded
-Numba CPU backend on the box case (~2e7 pair-updates/s; the reference
-publishes no absolute numbers — see BASELINE.md — and cannot run here
-since numba is not installed).
+Wall-clock budget: the whole run targets ``PYSDM_TPU_BENCH_BUDGET_S``
+(default 1650 s, i.e. fits ``timeout 1800 python bench.py``). Configs
+whose remaining-budget share cannot fit are skipped (recorded in
+``extra``) rather than blowing the budget.
 
-Resilience (round-2 lesson: the TPU tunnel can be wedged — BENCH_r02 died
-with FAILED_PRECONDITION on the first device op, and device attach has
-been observed to take ~270 s): the parent process re-execs itself as a
-``--child`` under a generous timeout, retries once, then degrades to the
-XLA path (no Pallas), then to CPU, and finally emits an error JSON line
-rather than nothing.
+Compilation cache: every child process enables the JAX persistent
+compilation cache (``.jax_cache/`` at the repo root), so retries and
+driver re-runs skip the 80-450 s tunnel-side compiles measured in
+round 3 (PERF_NOTES.md) once the cache is warm.
 
-Measured numbers are recorded in BENCH_r*.json at the repo root.
+``vs_baseline`` divides by a *measured* stand-in for the reference's
+multithreaded-Numba CPU backend: ``tools/baseline_numpy_box.py``
+re-implements the reference box step (semantics of
+``PySDM/backends/impl_numba/methods/collisions_methods.py:45-59,523-560``)
+in vectorized NumPy and measured 1.509e6 pair-updates/s single-thread on
+this host (2026-08-21); the denominator scales that by an assumed (and
+deliberately generous) 8x multithreaded-Numba speedup -> 1.2e7.
 
-Measured on the attached TPU v5e chip (2026-08-20, round 3): box config
-2.178e8 pair-updates/s with the fused Pallas coalesce vs 1.530e8 on the
-pure-XLA path — a 1.42x kernel speedup with same-RNG-stream allclose
-between the two paths (``box_pallas_xla_allclose``).
+Resilience: each config runs in its own subprocess (a device fault in one
+cannot take down the rest) behind a degradation ladder — retry, then
+drop the fused condensation kernel (condensation configs only), then all
+Pallas, then CPU — and the parent emits an error entry rather than
+nothing. The TPU tunnel is single-tenant: never run anything else
+against the chip while this script runs.
 """
 
 import json
@@ -51,14 +58,27 @@ import subprocess
 import sys
 import time
 
-
-REFERENCE_PAIR_UPDATES_PER_S = 2.0e7  # estimated PySDM Numba CPU backend
+# measured basis: tools/baseline_numpy_box.py on this host (2 cores,
+# 2026-08-21) -> 1.509e6 pair-updates/s single-thread vectorized NumPy
+# for the reference box pipeline at 2^20 SDs; x8 assumed thread speedup
+REFERENCE_PAIR_UPDATES_PER_S = 1.2e7
 
 BOX_N_SD = 2**20
 BOX_N_STEPS = 100
 WR_GRID = (25, 25)
 WR_N_SD_PER_GRIDBOX = 2**12
 WR_N_STEPS = 30
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+
+
+def _enable_compile_cache():
+    import jax
+
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def _build_box(n_sd):
@@ -136,7 +156,8 @@ def _bench_warm_rain():
     particulator, spin_up = make_simulation(settings, backend_class=TPU)
     spin_up.finish()
 
-    particulator.run(1)  # compile + warm up
+    particulator.run(1)  # compile + warm up (same program as run(n):
+    # multi_step takes the step count as a traced argument)
     particulator.block_until_ready()
 
     t0 = time.perf_counter()
@@ -252,6 +273,7 @@ def child(config):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache()
     import jax
 
     platform = jax.devices()[0].platform
@@ -307,7 +329,7 @@ def _run_child(config, env_overrides, timeout_s):
             check=False,
         )
     except subprocess.TimeoutExpired:
-        return None, f"timeout after {timeout_s}s"
+        return None, f"timeout after {timeout_s:.0f}s"
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
     if proc.returncode == 0 and lines:
         try:
@@ -318,23 +340,51 @@ def _run_child(config, env_overrides, timeout_s):
     return None, f"rc={proc.returncode}: " + " | ".join(tail)[-500:]
 
 
-def _attempt_ladder(config, timeouts, retry=True):
-    """each benchmark config runs in its own subprocess (a device fault in
-    one config cannot take down the others) with per-config degradation:
-    retry once (unless ``retry=False`` — heavy configs bound total wall
-    time), then XLA-only, then CPU."""
-    attempts = (
-        ({}, timeouts[0]),
-        *((({}, timeouts[1]),) if retry else ()),  # transient faults heal
-        # fused coalesce/cumsum on, XLA condensation — the condensation
-        # kernel is the newest and the first to drop if faults appear
-        ({"PYSDM_TPU_NO_PALLAS_COND": "1"}, timeouts[1]),
-        ({"PYSDM_TPU_NO_PALLAS": "1"}, timeouts[1]),
-        ({"PYSDM_TPU_BENCH_CPU": "1"}, timeouts[1]),
-    )
+# per-config subprocess degradation ladder: (env_overrides, nominal
+# timeout). NO_PALLAS_COND only exists on configs that run condensation
+# (ADVICE r3: a box fault would burn a rung on an identical re-run).
+_LADDERS = {
+    "box": (
+        ({}, 1500),
+        ({}, 900),  # transient tunnel faults heal on retry
+        ({"PYSDM_TPU_NO_PALLAS": "1"}, 900),
+        ({"PYSDM_TPU_BENCH_CPU": "1"}, 900),
+    ),
+    "parcel": (
+        ({}, 900),
+        ({"PYSDM_TPU_NO_PALLAS_COND": "1"}, 600),
+        ({"PYSDM_TPU_NO_PALLAS": "1"}, 600),
+        ({"PYSDM_TPU_BENCH_CPU": "1"}, 600),
+    ),
+    "breakup": (
+        ({}, 1200),
+        ({"PYSDM_TPU_NO_PALLAS": "1"}, 900),
+        ({"PYSDM_TPU_BENCH_CPU": "1"}, 600),
+    ),
+    "warm_rain": (
+        ({}, 3300),
+        ({"PYSDM_TPU_NO_PALLAS_COND": "1"}, 1800),
+        ({"PYSDM_TPU_NO_PALLAS": "1"}, 1800),
+        ({"PYSDM_TPU_BENCH_CPU": "1"}, 900),
+    ),
+}
+# skip a config outright when less budget than this remains: enough for a
+# cache-warm run (compile skipped) but not for a cold 300-450 s compile
+_MIN_REMAINING = {"box": 120, "parcel": 120, "breakup": 120, "warm_rain": 240}
+
+
+def _attempt_ladder(config, deadline):
+    """walk the config's degradation ladder, clamping every attempt to the
+    remaining wall-clock budget; gives up (recording why) at the deadline"""
     errors = []
-    for i, (env_overrides, timeout_s) in enumerate(attempts):
-        result, err = _run_child(config, env_overrides, timeout_s)
+    for i, (env_overrides, nominal_timeout) in enumerate(_LADDERS[config]):
+        remaining = deadline - time.monotonic()
+        if remaining < 60:
+            errors.append(f"attempt {i}: skipped (budget exhausted)")
+            break
+        result, err = _run_child(
+            config, env_overrides, min(nominal_timeout, remaining)
+        )
         if result is not None:
             if i > 0:
                 result["degraded_attempt"] = i
@@ -344,41 +394,44 @@ def _attempt_ladder(config, timeouts, retry=True):
     return {"error": "; ".join(errors)[-800:]}
 
 
-def main():
-    box = _attempt_ladder("box", (1800, 1200))
-    # warm-rain full-step XLA compile alone takes ~450 s on the axon tunnel
-    # (collision 335 s + condensation 80 s measured per-dynamic); run(1) +
-    # run(n) compile two program variants, so give the first attempt room
-    warm_rain = _attempt_ladder("warm_rain", (3300, 1800), retry=False)
-    breakup = _attempt_ladder("breakup", (1500, 900), retry=False)
-    parcel = _attempt_ladder("parcel", (900, 600))
-
+def _consolidated(results):
+    """merge per-config results into the driver-facing record"""
     extra = {}
-    extra.update({k: v for k, v in box.items() if k != "box_pair_updates_per_s"})
-    for name, result in (
-        ("warm_rain", warm_rain), ("breakup", breakup), ("parcel", parcel)
-    ):
+    for name, result in results.items():
         for key, value in result.items():
             extra[
                 name + "_" + key
-                if key in ("platform", "error", "degraded_attempt",
+                if key in ("platform", "error", "skipped", "degraded_attempt",
                            "prior_errors")
                 else key
             ] = value
-    rate = box.get("box_pair_updates_per_s", 0.0)
-    print(
-        json.dumps(
-            {
-                "metric": "sd_pair_updates_per_s",
-                "value": rate,
-                "unit": "pair-updates/s",
-                "vs_baseline": float(
-                    f"{rate / REFERENCE_PAIR_UPDATES_PER_S:.4g}"
-                ),
-                "extra": extra,
+    rate = results.get("box", {}).get("box_pair_updates_per_s", 0.0)
+    return {
+        "metric": "sd_pair_updates_per_s",
+        "value": rate,
+        "unit": "pair-updates/s",
+        "vs_baseline": float(f"{rate / REFERENCE_PAIR_UPDATES_PER_S:.4g}"),
+        "extra": extra,
+    }
+
+
+def main():
+    budget = float(os.environ.get("PYSDM_TPU_BENCH_BUDGET_S", 1650))
+    t_start = time.monotonic()
+    deadline = t_start + budget
+    results = {}
+    for config in ("box", "parcel", "breakup", "warm_rain"):
+        remaining = deadline - time.monotonic()
+        if remaining < _MIN_REMAINING[config]:
+            results[config] = {
+                "skipped": f"budget: {remaining:.0f}s left, "
+                           f"need >={_MIN_REMAINING[config]}s"
             }
-        )
-    )
+        else:
+            results[config] = _attempt_ladder(config, deadline)
+        # flush a full consolidated record after EVERY config: a driver
+        # timeout at any point still captures everything measured so far
+        print(json.dumps(_consolidated(results)), flush=True)
 
 
 if __name__ == "__main__":
