@@ -226,6 +226,7 @@ class Displacement:
                     dest_shift=dest_shift.astype(jnp.int32),
                     axis_name=distributed["axis_name"],
                     capacity=distributed["capacity"],
+                    rounds=distributed.get("rounds", 2),
                 )
                 multiplicity, extensive, maximum, cell_origin, position_in_cell = (
                     arrays

@@ -67,40 +67,71 @@ def _place(arrays, free_mask, bufs, valid):
     return out, n_lost
 
 
-def migrate_ring(*, arrays, multiplicity_index, dest_shift, axis_name, capacity):
+def migrate_ring(
+    *, arrays, multiplicity_index, dest_shift, axis_name, capacity, rounds=2
+):
     """move particles with dest_shift == +-1 to the ring neighbour.
 
     arrays: list of per-particle arrays ((n,) or (k, n)); the one at
     ``multiplicity_index`` is the (integer) multiplicity defining liveness.
     Returns (arrays, n_dropped) with migrated particles zeroed at the source
-    and placed into dead slots at the destination."""
+    and placed into dead slots at the destination.
+
+    The exchange runs up to ``rounds`` passes (static — shapes stay fixed);
+    each pass ships up to ``capacity`` of the *remaining* departures per
+    direction, so migration bursts (rain shafts, strong crosswind piling
+    movers onto one boundary) ride extra passes instead of being dropped.
+    Only what is still undelivered after the final pass is killed and
+    counted in ``n_dropped`` (deficit-style accounting like the reference's
+    breakup overflows, ``collisions_methods.py:64-93``)."""
     n_shards = lax.psum(1, axis_name)
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-    mult = arrays[multiplicity_index]
     n_dropped = jnp.zeros((), jnp.int64)
+    # per-slot outstanding destination; cleared when the slot's particle
+    # ships AND when an arrival is placed into the slot (an arrived particle
+    # is home — a stale pending value must not re-ship it next round)
+    pending = dest_shift.astype(jnp.int32)
 
-    # pack BOTH directions from the pre-migration state (a slot refilled by
-    # an incoming particle must not be re-shipped by the other direction),
-    # then kill all departures at the source before any placement
-    shipments = []
-    departing = jnp.zeros_like(mult, dtype=bool)
-    for direction, perm in ((1, fwd), (-1, bwd)):
-        mask = (dest_shift == direction) & (mult > 0)
-        bufs, valid, n_over = _pack(arrays, mask, capacity)
-        n_dropped = n_dropped + n_over.astype(jnp.int64)
-        departing = departing | mask
-        bufs = [lax.ppermute(b, axis_name, perm=perm) for b in bufs]
-        valid = lax.ppermute(valid, axis_name, perm=perm)
-        shipments.append((bufs, valid))
+    for _ in range(rounds):
+        mult = arrays[multiplicity_index]
+        # pack BOTH directions from the pre-placement state (a slot refilled
+        # by an incoming particle must not be re-shipped by the other
+        # direction), then kill all shipped departures at the source before
+        # any placement
+        shipments = []
+        departing = jnp.zeros_like(mult, dtype=bool)
+        for direction, perm in ((1, fwd), (-1, bwd)):
+            mask = (pending == direction) & (mult > 0)
+            # first `capacity` movers (slot order) ship this pass
+            rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            shipped = mask & (rank < capacity)
+            bufs, valid, _ = _pack(arrays, shipped, capacity)
+            departing = departing | shipped
+            bufs = [lax.ppermute(b, axis_name, perm=perm) for b in bufs]
+            valid = lax.ppermute(valid, axis_name, perm=perm)
+            shipments.append((bufs, valid))
 
+        pending = jnp.where(departing, 0, pending)
+        arrays = [
+            jnp.where(departing, 0, a) if i == multiplicity_index else a
+            for i, a in enumerate(arrays)
+        ]
+        for bufs, valid in shipments:
+            free = arrays[multiplicity_index] <= 0
+            placed, n_lost = _place(
+                arrays + [pending], free,
+                bufs + [jnp.zeros(valid.shape[0], pending.dtype)], valid,
+            )
+            arrays, pending = placed[:-1], placed[-1]
+            n_dropped = n_dropped + n_lost.astype(jnp.int64)
+
+    # undeliverable leftovers: kill + count
+    mult = arrays[multiplicity_index]
+    leftover = (pending != 0) & (mult > 0)
+    n_dropped = n_dropped + jnp.sum(leftover).astype(jnp.int64)
     arrays = [
-        jnp.where(departing, 0, a) if i == multiplicity_index else a
+        jnp.where(leftover, 0, a) if i == multiplicity_index else a
         for i, a in enumerate(arrays)
     ]
-    for bufs, valid in shipments:
-        free = arrays[multiplicity_index] <= 0
-        arrays, n_lost = _place(arrays, free, bufs, valid)
-        n_dropped = n_dropped + n_lost.astype(jnp.int64)
-
     return arrays, n_dropped

@@ -136,42 +136,49 @@ def test_migrate_ring_conserves_particles(mesh):
 
 
 def test_migrate_ring_overflow_counts_dropped(mesh):
-    """a burst of movers beyond the fixed send capacity increments the
-    dropped counter instead of corrupting state"""
+    """a burst of movers beyond the per-pass send capacity rides extra
+    exchange rounds; only what exceeds rounds*capacity is dropped (counted,
+    never silently mis-placed)"""
     n_local = 16
-    cap = 4  # 6 movers per shard -> 2 dropped per shard
-    mult = np.full(N_DEV * n_local, 5, dtype=np.int64)
+    cap = 4  # 6 movers per shard
+    mult0 = np.full(N_DEV * n_local, 5, dtype=np.int64)
     payload = np.ones((1, N_DEV * n_local))
     shift = np.zeros(N_DEV * n_local, dtype=np.int32)
     local_slot = np.arange(N_DEV * n_local) % n_local
     shift[local_slot < 6] = 1
-    mult[(local_slot >= 6) & (local_slot < 14)] = 0  # 8 graves per shard
+    mult0[(local_slot >= 6) & (local_slot < 14)] = 0  # 8 graves per shard
 
-    @jax.jit
-    def run(mult, payload, shift):
-        def shard_fn(mult, payload, shift):
-            arrays, dropped = migrate_ring(
-                arrays=[mult, payload],
-                multiplicity_index=0,
-                dest_shift=shift,
-                axis_name="x",
-                capacity=cap,
-            )
-            return arrays[0], dropped.reshape(1)
+    def make_run(rounds):
+        @jax.jit
+        def run(mult, payload, shift):
+            def shard_fn(mult, payload, shift):
+                arrays, dropped = migrate_ring(
+                    arrays=[mult, payload],
+                    multiplicity_index=0,
+                    dest_shift=shift,
+                    axis_name="x",
+                    capacity=cap,
+                    rounds=rounds,
+                )
+                return arrays[0], dropped.reshape(1)
 
-        return shard_map(
-            shard_fn, mesh=mesh,
-            in_specs=(P("x"), P(None, "x"), P("x")),
-            out_specs=(P("x"), P("x")),
-        )(mult, payload, shift)
+            return shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P("x"), P(None, "x"), P("x")),
+                out_specs=(P("x"), P("x")),
+            )(mult, payload, shift)
 
-    mult_out, dropped = run(
-        jnp.asarray(mult), jnp.asarray(payload), jnp.asarray(shift)
-    )
-    # 2 over-capacity movers per shard are dropped (counted, not silently
-    # mis-placed); the 4 within-capacity ones arrive
+        return run
+
+    args = (jnp.asarray(mult0), jnp.asarray(payload), jnp.asarray(shift))
+    # single pass: 6 movers, 4 shipped -> 2 dropped per shard
+    mult_out, dropped = make_run(rounds=1)(*args)
     assert int(np.asarray(dropped).sum()) == 2 * N_DEV
-    assert np.asarray(mult_out).sum() == mult.sum() - 2 * N_DEV * 5
+    assert np.asarray(mult_out).sum() == mult0.sum() - 2 * N_DEV * 5
+    # default two passes: the burst fits in 2*cap -> everyone delivered
+    mult_out2, dropped2 = make_run(rounds=2)(*args)
+    assert int(np.asarray(dropped2).sum()) == 0
+    assert np.asarray(mult_out2).sum() == mult0.sum()
 
 
 def test_classify_dest_shift_flags_far_moves():
