@@ -60,6 +60,14 @@ def run_case(n_shards, n_steps, nx_per_shard=8, nz=16, n_sd_per_gridbox=32):
 
 
 def main():
+    if "--cpu" in sys.argv:
+        # the axon TPU plugin ignores JAX_PLATFORMS=cpu; the config call
+        # must land before any device op (run with
+        # XLA_FLAGS=--xla_force_host_platform_device_count=8 for a mesh)
+        sys.argv.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     max_shards = int(sys.argv[1]) if len(sys.argv) > 1 else len(jax.devices())

@@ -405,26 +405,29 @@ def make_condensation_solver(
         n = jnp.maximum(n_substeps_min, n_substeps_prev // multiplier)
         all_cells = jnp.ones(n_cell, dtype=bool)
 
-        # phase 1: double until the fake substep succeeds
+        # phase 1: double until the fake substep succeeds; thd_long is
+        # carried out of the loop (the attempt that succeeds for a cell IS
+        # its dt/n trial) — recomputing it afterwards would cost one extra
+        # full fake substep per step for nothing
         def p1_cond(carry):
-            i, n, ok = carry
+            i, n, ok, _ = carry
             return (i < fuse) & jnp.any(~ok)
 
         def p1_body(carry):
-            i, n, ok = carry
+            i, n, ok, thd_long = carry
             thd_new, success = step_fake(n_substeps=n, thd=thd,
                                          cell_mask=~ok, **fake_kwargs)
+            thd_long = jnp.where(~ok & success, thd_new, thd_long)
             newly_ok = ok | success
             n = jnp.where(newly_ok, n, n * multiplier)
-            return i + 1, n, newly_ok
+            return i + 1, n, newly_ok, thd_long
 
         thd_long0, ok0 = step_fake(n_substeps=n, thd=thd, cell_mask=all_cells,
                                    **fake_kwargs)
-        _, n, _ = jax.lax.while_loop(
-            p1_cond, p1_body, (0, jnp.where(ok0, n, n * multiplier), ok0)
+        _, n, _, thd_long = jax.lax.while_loop(
+            p1_cond, p1_body,
+            (0, jnp.where(ok0, n, n * multiplier), ok0, thd_long0),
         )
-        thd_long, _ = step_fake(n_substeps=n, thd=thd, cell_mask=all_cells,
-                                **fake_kwargs)
 
         # phase 2: Richardson comparison against mult*n
         def p2_cond(carry):

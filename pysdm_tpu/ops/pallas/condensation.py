@@ -220,11 +220,18 @@ def make_fused_masses_new(
         n_pad = -(-n // _BLOCK) * _BLOCK
         pad = n_pad - n
 
-        def prep(x):
-            x = jnp.pad(x, (0, pad)) if pad else x
+        def prep(x, edge):
+            if pad:
+                # edge-replicate the tail (zero-padding puts thd=0, vdry=0
+                # etc. on the pad lanes, driving the padded sublane math
+                # through log(0)/0-division inf/NaN cascades); the activity
+                # mask is the exception — padded as 0 so pad lanes stay
+                # inert and are sliced off on return
+                x = jnp.pad(x, (0, pad), mode="edge" if edge else "constant")
             return x.reshape(n_pad // LANES, LANES)
 
-        args = [prep(x) for x in args]
+        act_index = 9
+        args = [prep(x, edge=(i != act_index)) for i, x in enumerate(args)]
         grid = n_pad // _BLOCK
         spec = pl.BlockSpec(
             (BLOCK_R, LANES), lambda i: (i, i * 0), memory_space=pltpu.VMEM

@@ -43,7 +43,20 @@ def main():
     from pysdm_tpu.parallel import DistributedSimulation2D
     from pysdm_tpu.physics import Formulae, si
 
-    settings = Settings(
+    if "crosswind" in sys.argv:
+        # sustained strong horizontal flow (courant_x ~ 0.85): every
+        # particle streams across slab AND process boundaries every few
+        # steps, holding migration near its per-step capacity (the
+        # smoke-test analogue: tests/smoke/test_distributed_2d.py
+        # _CrosswindSettings)
+        class _Crosswind(Settings):
+            def stream_function(self, xX, zZ, _):
+                return -17.5 * self.size[1] * zZ
+
+        settings_cls = _Crosswind
+    else:
+        settings_cls = Settings
+    settings = settings_cls(
         Formulae(seed=17),
         grid=(16, 8),
         size=(1500 * si.m, 1500 * si.m),
