@@ -55,10 +55,16 @@ def make_condensation_solver(
     if use_pallas is None:
         # PYSDM_TPU_NO_PALLAS_COND disables just the fused condensation
         # kernel (keeping the fused coalesce/cumsum) — its Mosaic compile
-        # inside the fully-fused multi-dynamic program is the costly part
-        use_pallas = _use_pallas() and not os.environ.get(
-            "PYSDM_TPU_NO_PALLAS_COND"
-        )
+        # inside the fully-fused multi-dynamic program is the costly part.
+        # PYSDM_TPU_ONLY_PALLAS_COND (fault-isolation knob) forces the
+        # condensation kernel ON while PYSDM_TPU_NO_PALLAS turns the
+        # coalesce/cumsum kernels off — one kernel family per program.
+        if os.environ.get("PYSDM_TPU_ONLY_PALLAS_COND"):
+            use_pallas = True
+        else:
+            use_pallas = _use_pallas() and not os.environ.get(
+                "PYSDM_TPU_NO_PALLAS_COND"
+            )
     fused_masses_new = None
     if use_pallas:
         from .pallas.condensation import make_fused_masses_new
@@ -134,22 +140,46 @@ def make_condensation_solver(
 
         margs = (x_old, dt_sub, attrs["kappa"], attrs["f_org"], rd3, T, RH, Fk, Fd)
         a = x_old
-        b = jnp.maximum(x_insane, a + dx_old)
         fa = minfun(a, *margs)
+
+        # f32-robust bracket expansion (generalizes reference 498-530).
+        # Two haze-at-equilibrium pathologies bite a low-precision
+        # pipeline (observed on TPU f32; the f64 reference cannot hit
+        # them at these scales):
+        # (a) fa == 0 exactly — x_old already solves the implicit
+        #     equation to machine precision; fa*fb < 0 can then never
+        #     hold, so the drop would be mis-reported unbracketable;
+        # (b) the minfun residual at a disagrees in SIGN with dx_old
+        #     (mass(x(m)) round-trips through exp/log, shifting the
+        #     equilibrium by an ulp) — expanding in dx_old's direction
+        #     then walks away from the root forever.
+        # minfun is asymptotically decreasing in x_new (the -x_new term
+        # dominates; beyond x_max it is exactly x_old - x_new), so the
+        # root lies on the side where f flips sign: probe UP when
+        # fa > 0, DOWN when fa < 0, with the increment magnitude floored
+        # at a few ulps of x_old (a sub-resolution dx would freeze the
+        # expansion: b = a + dx*2^k rounds back to a).
+        dx_mag = jnp.maximum(
+            jnp.abs(dx_old), 8 * jnp.finfo(ftype).eps * jnp.abs(x_old)
+        )
+        dx_step = jnp.where(fa > 0, dx_mag, -dx_mag)
+        converged_at_a = need_solve & (fa == 0)
+
+        b = jnp.maximum(x_insane, a + dx_step)
         fb = minfun(b, *margs)
 
         # bracket expansion (reference 498-530): double dx until sign change
         def expand_body(i, carry):
             b, fb = carry
             not_bracketed = (fa * fb >= 0) & need_solve
-            b_try = jnp.maximum(x_insane, a + dx_old * (2.0 ** (i + 1)))
+            b_try = jnp.maximum(x_insane, a + dx_step * (2.0 ** (i + 1)))
             fb_try = minfun(b_try, *margs)
             b = jnp.where(not_bracketed, b_try, b)
             fb = jnp.where(not_bracketed, fb_try, fb)
             return b, fb
 
         b, fb = jax.lax.fori_loop(0, max_iters, expand_body, (b, fb))
-        bracketed = fa * fb < 0
+        bracketed = (fa * fb < 0) | converged_at_a
         success_drop = ~need_solve | bracketed
 
         lo = jnp.minimum(a, b)
@@ -160,8 +190,11 @@ def make_condensation_solver(
         # root find, reference ``impl_thrust_rtc/bisection.py``)
         def bisect_cond(carry):
             i, lo, hi, _ = carry
-            unconverged = need_solve & bracketed & ~f.trivia.within_tolerance(
-                hi - lo, jnp.abs(jnp.where(x_old != 0, x_old, 1.0)), rtol_x
+            unconverged = (
+                need_solve & bracketed & ~converged_at_a
+                & ~f.trivia.within_tolerance(
+                    hi - lo, jnp.abs(jnp.where(x_old != 0, x_old, 1.0)), rtol_x
+                )
             )
             return (i < bisect_iters) & jnp.any(unconverged)
 
@@ -178,7 +211,9 @@ def make_condensation_solver(
         _, lo, hi, _ = jax.lax.while_loop(
             bisect_cond, bisect_body, (0, lo, hi, flo)
         )
-        x_new = jnp.where(need_solve & bracketed, 0.5 * (lo + hi), x_old)
+        x_new = jnp.where(
+            need_solve & bracketed & ~converged_at_a, 0.5 * (lo + hi), x_old
+        )
         mass_new = f.diffusion_coordinate.mass(x_new)
         mass_new = jnp.where(active, mass_new, water_mass)
         # failure detection (reference ``condensation_methods.py:670-696``
@@ -401,33 +436,71 @@ def make_condensation_solver(
     def adapt_substeps(*, n_substeps_prev, thd, fake_kwargs):
         """per-cell Richardson adaptation (reference ``adapt_substeps``
         178-228): double n until the one-substep thd error estimate
-        |dthd(dt/n) - multiplier*dthd(dt/(mult*n))| is within rtol_thd"""
-        n = jnp.maximum(n_substeps_min, n_substeps_prev // multiplier)
+        |dthd(dt/n) - multiplier*dthd(dt/(mult*n))| is within rtol_thd.
+
+        n is carried as FLOAT through the doubling loops: powers of two
+        are exact in f32/f64 and cannot overflow — an int32 n doubled by
+        a persistently-failing cell wraps to 0 after 32 doublings
+        (5 * 2^32 == 0), making dt_sub = dt/0 = inf and silently freezing
+        the cell (observed on TPU, round 4). NOTE: thd_long is recomputed
+        after phase 1 rather than carried through it — an extra vector
+        carry on that while_loop (whose body invokes the Pallas cumsum
+        via sorted_segment_sum) produced runtime TPU device faults in the
+        2.56M-SD fused warm-rain program (round 4)."""
+        ftype = thd.dtype
+        n_max_f = jnp.asarray(n_substeps_max, ftype)
+        # a cell whose fake substep STILL fails at this count will not be
+        # saved by more halving — freeze its n here and let the real
+        # substeps report the per-cell failure (counted, loud). Without
+        # the cap, failure-doubling marches n to n_substeps_max (dt/1e-4
+        # = 50000 at dt=5s): a 50000-iteration lockstep substep loop runs
+        # the device for minutes and trips the TPU runtime's execution
+        # watchdog ("TPU device error" — observed round 4 at 2.56M SDs;
+        # the reference raises on failure instead of re-halving forever,
+        # impl_numba condensation_methods.py:670-696)
+        n_fail_cap = jnp.asarray(
+            max(n_substeps_min, min(n_substeps_max, 64)), ftype
+        )
+        n = jnp.maximum(
+            jnp.asarray(n_substeps_min, ftype),
+            (n_substeps_prev // multiplier).astype(ftype),
+        )
         all_cells = jnp.ones(n_cell, dtype=bool)
 
-        # phase 1: double until the fake substep succeeds; thd_long is
-        # carried out of the loop (the attempt that succeeds for a cell IS
-        # its dt/n trial) — recomputing it afterwards would cost one extra
-        # full fake substep per step for nothing
+        # phase 1: double until the fake substep succeeds (or the cell
+        # hits the failure cap)
         def p1_cond(carry):
-            i, n, ok, _ = carry
+            i, n, ok = carry
             return (i < fuse) & jnp.any(~ok)
 
         def p1_body(carry):
-            i, n, ok, thd_long = carry
+            i, n, ok = carry
             thd_new, success = step_fake(n_substeps=n, thd=thd,
                                          cell_mask=~ok, **fake_kwargs)
-            thd_long = jnp.where(~ok & success, thd_new, thd_long)
-            newly_ok = ok | success
-            n = jnp.where(newly_ok, n, n * multiplier)
-            return i + 1, n, newly_ok, thd_long
+            newly_ok = ok | success | (n >= n_fail_cap)
+            n = jnp.where(
+                newly_ok, n, jnp.minimum(n * multiplier, n_fail_cap)
+            )
+            return i + 1, n, newly_ok
 
         thd_long0, ok0 = step_fake(n_substeps=n, thd=thd, cell_mask=all_cells,
                                    **fake_kwargs)
-        _, n, _, thd_long = jax.lax.while_loop(
+        _, n, _ = jax.lax.while_loop(
             p1_cond, p1_body,
-            (0, jnp.where(ok0, n, n * multiplier), ok0, thd_long0),
+            (0, jnp.where(ok0, n, jnp.minimum(n * multiplier, n_fail_cap)),
+             ok0),
         )
+        n = jnp.minimum(n, n_max_f)
+        thd_long, _ = step_fake(n_substeps=n, thd=thd, cell_mask=all_cells,
+                                **fake_kwargs)
+
+        # the Richardson error estimate is a difference of two same-scale
+        # trajectories: it cannot meaningfully drop below a few ulps of
+        # thd. On the f32 TPU path a tolerance below that floor would keep
+        # 'within' false forever and double n to n_substeps_max — another
+        # route to the minutes-long lockstep loop the execution watchdog
+        # kills. (f64: the floor is ~1e-15, never binding.)
+        rtol_eff = max(rtol_thd, 16 * float(jnp.finfo(ftype).eps))
 
         # phase 2: Richardson comparison against mult*n
         def p2_cond(carry):
@@ -441,8 +514,8 @@ def make_condensation_solver(
             dthd_long = thd_long - thd
             dthd_short = thd_short - thd
             error_estimate = jnp.abs(dthd_long - multiplier * dthd_short)
-            within = f.trivia.within_tolerance(error_estimate, thd, rtol_thd)
-            newly_done = done | within | (n * multiplier > n_substeps_max)
+            within = f.trivia.within_tolerance(error_estimate, thd, rtol_eff)
+            newly_done = done | within | (n * multiplier > n_max_f)
             n = jnp.where(done | within, n, n * multiplier)
             thd_long = jnp.where(done, thd_long, thd_short)
             return i + 1, n, newly_done, thd_long
@@ -451,7 +524,7 @@ def make_condensation_solver(
             p2_cond, p2_body,
             (0, n, jnp.zeros(n_cell, dtype=bool), thd_long),
         )
-        return jnp.minimum(n, n_substeps_max)
+        return jnp.minimum(n, n_max_f).astype(jnp.int32)
 
     def solve(
         *, attrs, multiplicity, cell_of_drop, cell_start, n_substeps,

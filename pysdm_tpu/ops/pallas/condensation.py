@@ -141,8 +141,21 @@ def make_fused_masses_new(
 
         margs = (x_old, dt_sub, kappa, f_org, rd3, T, RH, Fk, Fd)
         a = x_old
-        b = jnp.maximum(x_insane, a + dx_old)
         fa = minfun(a, *margs)
+
+        # f32-robust expansion (mirrors ops/condensation.py): probe in
+        # the direction of minfun's own sign (fa == 0 means x_old IS the
+        # root; a sign-inconsistent dx_old would walk away from it), with
+        # the increment floored at a few f32 ulps of x_old (a
+        # sub-resolution dx freezes b = a + dx*2^k at a)
+        dx_mag = jnp.maximum(
+            jnp.abs(dx_old),
+            jnp.float32(8 * 1.1920929e-7) * jnp.abs(x_old),
+        )
+        dx_step = jnp.where(fa > 0, dx_mag, -dx_mag)
+        converged_at_a = need_solve & (fa == 0)
+
+        b = jnp.maximum(x_insane, a + dx_step)
         fb = minfun(b, *margs)
 
         # bracket expansion: double dx until sign change (fixed unroll)
@@ -150,7 +163,7 @@ def make_fused_masses_new(
             b, fb = carry
             not_bracketed = (fa * fb >= 0) & need_solve
             b_try = jnp.maximum(
-                x_insane, a + dx_old * (2.0 ** (i.astype(jnp.float32) + 1))
+                x_insane, a + dx_step * (2.0 ** (i.astype(jnp.float32) + 1))
             )
             fb_try = minfun(b_try, *margs)
             b = jnp.where(not_bracketed, b_try, b)
@@ -161,7 +174,7 @@ def make_fused_masses_new(
         b, fb = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(max_iters), expand_body, (b, fb)
         )
-        bracketed = fa * fb < 0
+        bracketed = (fa * fb < 0) | converged_at_a
         success = ~need_solve | bracketed
 
         lo = jnp.minimum(a, b)
@@ -191,7 +204,9 @@ def make_fused_masses_new(
             jnp.int32(0), jnp.int32(min(bisect_iters, 40)),
             bisect_body, (lo, hi, flo),
         )
-        x_new = jnp.where(need_solve & bracketed, 0.5 * (lo + hi), x_old)
+        x_new = jnp.where(
+            need_solve & bracketed & ~converged_at_a, 0.5 * (lo + hi), x_old
+        )
         mass_new = f.diffusion_coordinate.mass(x_new)
         mass_new = jnp.where(active, mass_new, wm)
         # non-finite root -> counted failure, state kept finite (mirrors
