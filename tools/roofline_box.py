@@ -26,18 +26,23 @@ N_SD = 2**20
 
 
 def chained_ms(fn, state, k=K):
-    """time k data-dependent invocations in ONE dispatch"""
+    """time k data-dependent invocations in ONE dispatch. The completion
+    barrier fetches ONE device-reduced scalar: fetching every state leaf
+    costs ~an RTT per leaf over the axon tunnel and dominates the
+    measurement (observed: a 2.4 ms step reading as 44 ms)."""
     @jax.jit
     def run(s):
-        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(k), fn, s)
+        out = jax.lax.fori_loop(jnp.int32(0), jnp.int32(k), fn, s)
+        sink = jnp.zeros((), jnp.float32)
+        for leaf in jax.tree_util.tree_leaves(out):
+            sink = sink + jnp.sum(leaf).astype(jnp.float32)
+        return out, sink
 
-    out = run(state)
-    jax.tree_util.tree_map(
-        lambda x: np.asarray(x).ravel()[:1], out
-    )  # host fetch = real completion barrier
+    _, sink = run(state)
+    float(sink)  # warm + completion barrier
     t0 = time.perf_counter()
-    out = run(state)
-    jax.tree_util.tree_map(lambda x: np.asarray(x).ravel()[:1], out)
+    _, sink = run(state)
+    float(sink)
     return (time.perf_counter() - t0) / k * 1e3
 
 
