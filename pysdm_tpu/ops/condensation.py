@@ -468,31 +468,32 @@ def make_condensation_solver(
         all_cells = jnp.ones(n_cell, dtype=bool)
 
         # phase 1: double until the fake substep succeeds (or the cell
-        # hits the failure cap)
+        # hits the failure cap); thd_long is carried out of the loop (the
+        # attempt that succeeds for a cell IS its dt/n trial) — saving a
+        # full extra fake substep per step
         def p1_cond(carry):
-            i, n, ok = carry
+            i, n, ok, _ = carry
             return (i < fuse) & jnp.any(~ok)
 
         def p1_body(carry):
-            i, n, ok = carry
+            i, n, ok, thd_long = carry
             thd_new, success = step_fake(n_substeps=n, thd=thd,
                                          cell_mask=~ok, **fake_kwargs)
+            thd_long = jnp.where(~ok & success, thd_new, thd_long)
             newly_ok = ok | success | (n >= n_fail_cap)
             n = jnp.where(
                 newly_ok, n, jnp.minimum(n * multiplier, n_fail_cap)
             )
-            return i + 1, n, newly_ok
+            return i + 1, n, newly_ok, thd_long
 
         thd_long0, ok0 = step_fake(n_substeps=n, thd=thd, cell_mask=all_cells,
                                    **fake_kwargs)
-        _, n, _ = jax.lax.while_loop(
+        _, n, _, thd_long = jax.lax.while_loop(
             p1_cond, p1_body,
             (0, jnp.where(ok0, n, jnp.minimum(n * multiplier, n_fail_cap)),
-             ok0),
+             ok0, thd_long0),
         )
         n = jnp.minimum(n, n_max_f)
-        thd_long, _ = step_fake(n_substeps=n, thd=thd, cell_mask=all_cells,
-                                **fake_kwargs)
 
         # the Richardson error estimate is a difference of two same-scale
         # trajectories: it cannot meaningfully drop below a few ulps of
