@@ -44,8 +44,11 @@ def _kernel(x_ref, o_ref):
 
     def cond(c):
         i, lo, hi = c
-        return (i < jnp.int32(50)) & jnp.any(
-            (hi - lo) > jnp.float32(1e-6)
+        # max-reduce, not jnp.any: any() itself lowers through an f64
+        # squeeze under the package-global x64 mode and fails BEFORE the
+        # runtime pattern can repro (that was round 3's first workaround)
+        return (i < jnp.int32(50)) & (
+            jnp.max(hi - lo) > jnp.float32(1e-6)
         )
 
     def body(c):
