@@ -128,6 +128,15 @@ class Collision:
             handle_all = formulae.handle_all_breakups
 
         u01_injection = getattr(self, "u01_injection", False)
+        # sort-free mirror croupier (ops/pairing.py): single-cell domains
+        # (0D box / parcel) pair slot o with (K - o) mod N via flip+roll —
+        # removes the bucket-shuffle sort entirely (the measured 79% of a
+        # box collision step, PERF_NOTES.md roofline). The sort croupier
+        # remains for multi-cell domains, for u01-injection parity mode, and
+        # on explicit request (croupier="sort").
+        use_mirror = (
+            n_cell == 1 and not u01_injection and self.croupier != "sort"
+        )
 
         def substep(particles, env, counters, key, dt_left, prob_scale,
                     injected=None):
@@ -139,20 +148,30 @@ class Collision:
                     return injected[purpose]
                 return jax.random.uniform(k, (n_sd,), dtype=ftype)
 
-            if injected is not None:
-                u_sh = injected["collision_shuffle"]
+            if use_mirror:
+                from ...ops.pairing import MirrorPairing
+
+                K = jax.random.randint(k_sh, (), 0, n_sd, dtype=jnp.int32)
+                pairing = MirrorPairing(K, n_sd, particles.alive)
+                sorted_cell = None
+                cell_start = None
+                is_first = pairing.is_first
             else:
-                # raw bits: the packed-key shuffle consumes uint32 directly
-                u_sh = jax.random.bits(k_sh, (n_sd,), jnp.uint32)
-            # one variadic sort carries the whole state as payload operands
-            # (TPU gathers/scatters are element-at-a-time — the sort is the
-            # only shuffle) and the state stays in sorted order afterwards
-            (
-                particles,
-                sorted_cell,
-                cell_start,
-                is_first,
-            ) = seg_ops.bucket_shuffle_state(particles, u_sh, n_cell, mesh)
+                pairing = None
+                if injected is not None:
+                    u_sh = injected["collision_shuffle"]
+                else:
+                    # raw bits: the packed-key shuffle consumes uint32 directly
+                    u_sh = jax.random.bits(k_sh, (n_sd,), jnp.uint32)
+                # one variadic sort carries the whole state as payload operands
+                # (TPU gathers/scatters are element-at-a-time — the sort is the
+                # only shuffle) and the state stays in sorted order afterwards
+                (
+                    particles,
+                    sorted_cell,
+                    cell_start,
+                    is_first,
+                ) = seg_ops.bucket_shuffle_state(particles, u_sh, n_cell, mesh)
             attr_names = set(kernel.required_attributes)
             if enable_breakup:
                 attr_names |= set(getattr(frag, "required_attributes", ()))
@@ -161,16 +180,29 @@ class Collision:
             attrs_a = {
                 name: resolver.get(particles, name) for name in sorted(attr_names)
             }
-            attrs_b = {name: seg_ops.pair_roll(v) for name, v in attrs_a.items()}
+            if use_mirror:
+                attrs_b = {
+                    name: pairing.partner(v) for name, v in attrs_a.items()
+                }
+            else:
+                attrs_b = {
+                    name: seg_ops.pair_roll(v) for name, v in attrs_a.items()
+                }
             kernel_vals = kernel.pairwise(formulae, attrs_a, attrs_b)
 
             mult_s = particles.multiplicity
             ext_s = particles.extensive
 
             dv = env.get("dv", mesh.dv)
-            norm = coll_ops.normalization_factor(cell_start, dt, dv, n_cell, ftype)
+            if use_mirror:
+                norm = coll_ops.mirror_normalization_factor(dt, dv, n_sd, ftype)
+            else:
+                norm = coll_ops.normalization_factor(
+                    cell_start, dt, dv, n_cell, ftype
+                )
             prob = coll_ops.collision_probability(
-                kernel_vals.astype(ftype), mult_s, sorted_cell, norm, is_first
+                kernel_vals.astype(ftype), mult_s, sorted_cell, norm, is_first,
+                pairing=pairing,
             )
             if adaptive:
                 (
@@ -190,6 +222,7 @@ class Collision:
                     dt_range=dt_range,
                     n_cell=n_cell,
                     stats_n_substep=counters["collision_n_substep"],
+                    pairing=pairing,
                 )
             else:
                 prob = prob * prob_scale
@@ -200,7 +233,8 @@ class Collision:
             # multiplicities; adaptive and multi-extensive-row supported):
             # probability, gamma capping and the Shima update in ONE pass
             # over the sorted state (ops/pallas/collision.py) instead of
-            # ~15 materialized arrays
+            # ~15 materialized arrays. A mirror-croupier variant feeds the
+            # involution partner rows instead of roll(+-1) neighbor copies.
             use_fused = (
                 not enable_breakup
                 and jnp.issubdtype(mult_s.dtype, jnp.integer)
@@ -208,7 +242,11 @@ class Collision:
                 and _pallas_enabled()
             )
             if use_fused:
-                from ...ops.pallas.collision import fused_coalesce
+                from ...ops.pallas.collision import (
+                    fused_coalesce,
+                    fused_coalesce_mirror,
+                )
+                from ...ops.pallas.scan import _interpret_mode
 
                 # per-cell scale: the adaptive dt_todo/dt factor, or the
                 # uniform 1/substeps
@@ -216,16 +254,21 @@ class Collision:
                     cell_scale = norm * (dt_todo / dt)
                 else:
                     cell_scale = norm * prob_scale
-                norm_ext = jnp.concatenate(
-                    [cell_scale, jnp.zeros((1,), norm.dtype)]
-                )
-                kernnorm = kernel_vals.astype(ftype) * norm_ext[sorted_cell]
-                from ...ops.pallas.scan import _interpret_mode
-
-                mult_s, ext_s, rate, deficit, coal = fused_coalesce(
-                    mult_s, ext_s, kernnorm, rand, is_first,
-                    interpret=_interpret_mode(),
-                )
+                if use_mirror:
+                    kernnorm = kernel_vals.astype(ftype) * cell_scale[0]
+                    mult_s, ext_s, rate, deficit, coal = fused_coalesce_mirror(
+                        mult_s, ext_s, kernnorm, rand, is_first,
+                        pairing.shift, interpret=_interpret_mode(),
+                    )
+                else:
+                    norm_ext = jnp.concatenate(
+                        [cell_scale, jnp.zeros((1,), norm.dtype)]
+                    )
+                    kernnorm = kernel_vals.astype(ftype) * norm_ext[sorted_cell]
+                    mult_s, ext_s, rate, deficit, coal = fused_coalesce(
+                        mult_s, ext_s, kernnorm, rand, is_first,
+                        interpret=_interpret_mode(),
+                    )
                 for cname, row in (
                     ("collision_rate", rate),
                     ("collision_rate_deficit", deficit),
@@ -242,7 +285,7 @@ class Collision:
 
             gamma, counters = coll_ops.compute_gamma(
                 prob, rand, mult_s, sorted_cell, is_first, n_cell, counters,
-                cell_start=cell_start,
+                cell_start=cell_start, pairing=pairing,
             )
 
             if not enable_breakup:
@@ -250,13 +293,13 @@ class Collision:
                     mult_s, ext_s, counters, max_s = coll_ops.coalesce(
                         mult_s, ext_s, gamma, is_first, sorted_cell, n_cell,
                         counters, cell_start=cell_start,
-                        max_s=particles.maximum,
+                        max_s=particles.maximum, pairing=pairing,
                     )
                     particles = particles.replace(maximum=max_s)
                 else:
                     mult_s, ext_s, counters = coll_ops.coalesce(
                         mult_s, ext_s, gamma, is_first, sorted_cell, n_cell,
-                        counters, cell_start=cell_start,
+                        counters, cell_start=cell_start, pairing=pairing,
                     )
             else:
                 from ...ops.breakup import collision_coalescence_breakup
@@ -285,6 +328,7 @@ class Collision:
                     max_multiplicity=max_multiplicity,
                     handle_all_breakups=handle_all,
                     formulae=formulae,
+                    pairing=pairing,
                 )
 
             particles = particles.replace(multiplicity=mult_s, extensive=ext_s)

@@ -31,10 +31,9 @@ import jax.numpy as jnp
 from .collisions import (
     accumulate_counter,
     coalesce,
-    _merge_pair_results,
     _cell_start_of,
+    _pairing_or_adjacent,
 )
-from .segments import pair_roll
 
 _F64 = jnp.float64
 
@@ -143,10 +142,13 @@ def collision_coalescence_breakup(
     handle_all_breakups,
     formulae,
     cell_start=None,
+    pairing=None,
 ):
     """fused bounce/coalesce/breakup update over sorted slots; returns
-    (mult_s, ext_s, counters). Pair convention as in ``ops.collisions``:
-    slot p pairs with p+1 where ``is_first[p]``."""
+    (mult_s, ext_s, counters). Pair convention from ``pairing`` (defaults to
+    the sort-croupier adjacency: slot p pairs with p+1 where ``is_first[p]``;
+    the mirror croupier passes ``ops.pairing.MirrorPairing``)."""
+    pairing = _pairing_or_adjacent(pairing, is_first)
     ftype = ext_s.dtype
     mult_dtype = mult_s.dtype
     active = is_first & (gamma > 0)
@@ -155,20 +157,20 @@ def collision_coalescence_breakup(
     do_break = active & ~bouncing & ~do_coal
 
     # --- coalescing pairs: reuse the pure-coalescence update --------------
-    if cell_start is None:
+    if cell_start is None and sorted_cell is not None:
         cell_start = _cell_start_of(sorted_cell, n_cell)
     gamma_c = jnp.where(do_coal, gamma, jnp.zeros((), gamma.dtype))
     mult_s, ext_s, counters = coalesce(
         mult_s, ext_s, gamma_c, do_coal, sorted_cell, n_cell, counters,
-        cell_start=cell_start,
+        cell_start=cell_start, pairing=pairing,
     )
 
     # --- breaking pairs ----------------------------------------------------
     wm_idx = ext_names.index("signed water mass")
     a_m = mult_s.astype(_F64)
-    b_m = pair_roll(mult_s).astype(_F64)
+    b_m = pairing.partner(mult_s).astype(_F64)
     a_e = ext_s.astype(_F64)
-    b_e = pair_roll(ext_s, axis=1).astype(_F64)
+    b_e = pairing.partner(ext_s, axis=1).astype(_F64)
     gamma_f = jnp.where(do_break, gamma, 0).astype(_F64)
     mass_sum_pair = jnp.abs(a_e[wm_idx]) + jnp.abs(b_e[wm_idx])
     fm = fragmentation_limiters(fragment_mass.astype(_F64), mass_sum_pair)
@@ -280,13 +282,13 @@ def collision_coalescence_breakup(
         a_m_new, b_m_new = mj_new, mk_new
         a_e_new, b_e_new = ej_new, ek_new
 
-    mult_out = _merge_pair_results(
+    mult_out = pairing.merge(
         mult_s,
         jnp.round(a_m_new).astype(mult_dtype),
         jnp.round(b_m_new).astype(mult_dtype),
         do_break,
     )
-    ext_out = _merge_pair_results(
+    ext_out = pairing.merge(
         ext_s, a_e_new.astype(ftype), b_e_new.astype(ftype), do_break, axis=1
     )
 

@@ -25,12 +25,19 @@ exactly-corrected floor division (``floor_div`` below).
 
 import jax.numpy as jnp
 
+from .pairing import AdjacentPairing
 from .segments import (
     cell_counts,
     pair_roll,
     sorted_segment_min,
     sorted_segment_sum,
 )
+
+
+def _pairing_or_adjacent(pairing, is_first):
+    """ops below accept an optional ``ops.pairing`` matching object; the
+    default is the sort-croupier adjacency convention (slot p pairs p+1)"""
+    return pairing if pairing is not None else AdjacentPairing(is_first)
 
 
 def floor_div(a, b):
@@ -88,17 +95,33 @@ def normalization_factor(cell_start, dt, dv, n_cell, dtype):
     return jnp.where(sd_num < 2, jnp.zeros((), dtype), factor)
 
 
-def collision_probability(kernel_values, mult_s, sorted_cell, norm_factor, is_first):
-    """prob[p] = max(xi_p, xi_{p+1}) * K * norm_factor[cell]"""
-    max_mult = jnp.maximum(mult_s, pair_roll(mult_s)).astype(kernel_values.dtype)
-    norm = jnp.concatenate([norm_factor, jnp.zeros((1,), norm_factor.dtype)])
-    prob = max_mult * kernel_values * norm[sorted_cell]
+def mirror_normalization_factor(dt, dv, n_sd, dtype):
+    """normalization for the sort-free mirror croupier (single cell):
+    every unordered pair is a candidate with probability exactly 1/N, so the
+    Shima scaling 1/P(candidate) is just N (``ops.pairing.MirrorPairing``)"""
+    return jnp.full((1,), dt / dv * n_sd, dtype=dtype)
+
+
+def collision_probability(
+    kernel_values, mult_s, sorted_cell, norm_factor, is_first, pairing=None
+):
+    """prob[p] = max(xi_p, xi_partner) * K * norm_factor[cell]"""
+    pairing = _pairing_or_adjacent(pairing, is_first)
+    max_mult = jnp.maximum(mult_s, pairing.partner(mult_s)).astype(
+        kernel_values.dtype
+    )
+    if sorted_cell is None:  # single-cell (mirror) path
+        norm_b = norm_factor[0]
+    else:
+        norm = jnp.concatenate([norm_factor, jnp.zeros((1,), norm_factor.dtype)])
+        norm_b = norm[sorted_cell]
+    prob = max_mult * kernel_values * norm_b
     return jnp.where(is_first, prob, 0.0)
 
 
 def scale_prob_adaptive(
     *, prob, mult_s, sorted_cell, cell_start, is_first, dt_left, dt, dt_range,
-    n_cell, stats_n_substep=None, stats_dt_min=None,
+    n_cell, stats_n_substep=None, stats_dt_min=None, pairing=None,
 ):
     """per-cell adaptive substep scaling
     (reference ``collisions_methods.py:330-378``): pick the largest per-cell
@@ -106,8 +129,10 @@ def scale_prob_adaptive(
     collision count ~<= multiplicity ratio, scale prob accordingly, and
     decrement dt_left."""
     ftype = prob.dtype
-    mj = jnp.maximum(mult_s, pair_roll(mult_s))
-    mk = jnp.minimum(mult_s, pair_roll(mult_s))
+    pairing = _pairing_or_adjacent(pairing, is_first)
+    mult_p = pairing.partner(mult_s)
+    mj = jnp.maximum(mult_s, mult_p)
+    mk = jnp.minimum(mult_s, mult_p)
     # prop only feeds the f32 pacing heuristic dt_optimal below, so the
     # i64 floor division (software-emulated, ~60x a multiply pass on TPU)
     # is replaced by its f32 image; differs from exact floor only at ULP
@@ -125,11 +150,19 @@ def scale_prob_adaptive(
     dt_optimal = jnp.where(is_first & (prob > 0), dt_optimal, jnp.inf)
 
     dt_todo = jnp.minimum(dt_left, dt_range[1])
-    per_cell_opt = sorted_segment_min(dt_optimal, sorted_cell, cell_start, n_cell)
+    if sorted_cell is None:  # single-cell (mirror) path: plain masked min
+        per_cell_opt = jnp.min(dt_optimal)[None]
+    else:
+        per_cell_opt = sorted_segment_min(
+            dt_optimal, sorted_cell, cell_start, n_cell
+        )
     dt_todo = jnp.minimum(dt_todo, per_cell_opt)
 
-    dt_todo_ext = jnp.concatenate([dt_todo, jnp.zeros((1,), ftype)])
-    prob = prob * dt_todo_ext[sorted_cell] / dt
+    if sorted_cell is None:
+        prob = prob * dt_todo[0] / dt
+    else:
+        dt_todo_ext = jnp.concatenate([dt_todo, jnp.zeros((1,), ftype)])
+        prob = prob * dt_todo_ext[sorted_cell] / dt
     new_dt_left = dt_left - dt_todo
     if stats_n_substep is not None:
         stats_n_substep = stats_n_substep + (dt_todo > 0)
@@ -158,8 +191,13 @@ def accumulate_counter(counter, values, cell_start, n_cell, counters=None):
     ``collisions_methods.py:523-560``). When the ``counters`` dict carries a
     ``rate_step_sum_max`` slot, the largest per-step per-cell sum is recorded
     there so readouts can flag precision loss (sums past 2^24 are no longer
-    f32-exact)."""
-    s = sorted_segment_sum(values.astype(jnp.float32), cell_start, n_cell)
+    f32-exact). ``cell_start=None`` selects the single-cell (mirror-croupier)
+    path: a plain masked global sum, no cumsum."""
+    if cell_start is None:
+        assert n_cell == 1
+        s = jnp.sum(values.astype(jnp.float32))[None]
+    else:
+        s = sorted_segment_sum(values.astype(jnp.float32), cell_start, n_cell)
     if counters is not None and "rate_step_sum_max" in counters:
         counters["rate_step_sum_max"] = jnp.maximum(
             counters["rate_step_sum_max"], s.max()
@@ -170,16 +208,19 @@ def accumulate_counter(counter, values, cell_start, n_cell, counters=None):
 
 
 def compute_gamma(
-    prob, rand, mult_s, sorted_cell, is_first, n_cell, counters=None, cell_start=None
+    prob, rand, mult_s, sorted_cell, is_first, n_cell, counters=None,
+    cell_start=None, pairing=None,
 ):
     """gamma = ceil(prob - rand), capped at floor(xi_j/xi_k)
     (reference ``collisions_methods.py:522-560``); returns integer gamma per
     slot and updates collision_rate / collision_rate_deficit counters."""
+    pairing = _pairing_or_adjacent(pairing, is_first)
     mult_dtype = mult_s.dtype
     gamma_f = jnp.maximum(jnp.ceil(prob - rand), 0.0)
     gamma_f = jnp.where(is_first, gamma_f, 0.0)
-    mj = jnp.maximum(mult_s, pair_roll(mult_s))
-    mk = jnp.minimum(mult_s, pair_roll(mult_s))
+    mult_p = pairing.partner(mult_s)
+    mj = jnp.maximum(mult_s, mult_p)
+    mk = jnp.minimum(mult_s, mult_p)
     # gamma = min(ceil(prob-rand), floor(mj/mk)) without the emulated i64
     # division: exact via f32 estimate + multiply-compare walk
     gamma = capped_floor_div(
@@ -187,7 +228,7 @@ def compute_gamma(
     ).astype(mult_dtype)
     gamma = jnp.where(is_first, gamma, jnp.zeros((), mult_dtype))
     if counters is not None:
-        if cell_start is None:
+        if cell_start is None and sorted_cell is not None:
             cell_start = _cell_start_of(sorted_cell, n_cell)
         rate = gamma.astype(jnp.float32) * mk.astype(jnp.float32)
         deficit = (gamma_f - gamma.astype(gamma_f.dtype)) * mk.astype(gamma_f.dtype)
@@ -210,7 +251,7 @@ def compute_gamma(
 
 def coalesce(
     mult_s, ext_s, gamma, is_first, sorted_cell, n_cell, counters=None,
-    cell_start=None, max_s=None,
+    cell_start=None, max_s=None, pairing=None,
 ):
     """Shima 2009 coalescence update (reference ``collisions_methods.py:45-59``):
     xi_j -= gamma * xi_k and extensive_k += gamma * extensive_j; when xi_j
@@ -221,9 +262,10 @@ def coalesce(
     coalescence kernel (``impl/particle_attributes_factory.py:118``,
     TODO #594). Returns updated (mult_s, ext_s[, max_s]) in sorted-slot
     order."""
+    pairing = _pairing_or_adjacent(pairing, is_first)
     ftype = ext_s.dtype
-    a_m, b_m = mult_s, pair_roll(mult_s)
-    a_e, b_e = ext_s, pair_roll(ext_s, axis=1)
+    a_m, b_m = mult_s, pairing.partner(mult_s)
+    a_e, b_e = ext_s, pairing.partner(ext_s, axis=1)
 
     j_is_a = a_m >= b_m
     mj = jnp.where(j_is_a, a_m, b_m)
@@ -245,7 +287,7 @@ def coalesce(
     ek_new = ek_merged  # in non-split case this is the coalesce rule already
 
     if counters is not None:
-        if cell_start is None:
+        if cell_start is None and sorted_cell is not None:
             cell_start = _cell_start_of(sorted_cell, n_cell)
         coal = jnp.where(
             is_first, g.astype(jnp.float32) * mk.astype(jnp.float32), 0.0
@@ -261,12 +303,12 @@ def coalesce(
     a_e_new = jnp.where(j_is_a[None, :], ej_new, ek_new)
     b_e_new = jnp.where(j_is_a[None, :], ek_new, ej_new)
 
-    mult_out = _merge_pair_results(mult_s, a_m_new, b_m_new, is_first)
-    ext_out = _merge_pair_results(ext_s, a_e_new, b_e_new, is_first, axis=1)
+    mult_out = pairing.merge(mult_s, a_m_new, b_m_new, is_first)
+    ext_out = pairing.merge(ext_s, a_e_new, b_e_new, is_first, axis=1)
     if max_s is None or max_s.shape[0] == 0:
         return mult_out, ext_out, counters
 
-    a_x, b_x = max_s, pair_roll(max_s, axis=1)
+    a_x, b_x = max_s, pairing.partner(max_s, axis=1)
     xj = jnp.where(j_is_a[None, :], a_x, b_x)
     xk = jnp.where(j_is_a[None, :], b_x, a_x)
     # fmax, not maximum: NaN marks "not recorded" for rows like temperature
@@ -280,7 +322,7 @@ def coalesce(
     xj_new = jnp.where(split[None, :], merged_x, xj)
     a_x_new = jnp.where(j_is_a[None, :], xj_new, xk_new)
     b_x_new = jnp.where(j_is_a[None, :], xk_new, xj_new)
-    max_out = _merge_pair_results(max_s, a_x_new, b_x_new, is_first, axis=1)
+    max_out = pairing.merge(max_s, a_x_new, b_x_new, is_first, axis=1)
     return mult_out, ext_out, counters, max_out
 
 

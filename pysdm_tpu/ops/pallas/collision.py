@@ -217,6 +217,188 @@ def _coalesce_kernel(
     coal_ref[...] = jnp.where(lead, gf * mk_f, jnp.float32(0.0))
 
 
+def _coalesce_kernel_mirror(
+    # inputs ((BLOCK_R, LANES); ext rows (R, BLOCK_R, LANES)):
+    mhi_ref, mlo_ref,          # own multiplicity words
+    bhi_ref, blo_ref,          # partner multiplicity words (involution)
+    ext_ref, ext_p_ref,        # R extensive rows, own + partner
+    kn_ref, kn_p_ref,          # kernel*norm*scale, own + partner
+    rand_ref, rand_p_ref,      # gamma u01, own + partner
+    isf_ref, isf_p_ref,        # is_first, partner's is_first (int32 0/1)
+    # outputs:
+    mhi_out_ref, mlo_out_ref, ext_out_ref,
+    rate_ref, deficit_ref, coal_ref,
+):
+    """mirror-croupier variant of ``_coalesce_kernel``: the matching is an
+    involution (ops/pairing.py MirrorPairing), so ONE partner set serves both
+    pair orientations and every slot writes its own final value — no
+    XLA-side merge pass. Pair roles and update math are identical to the
+    adjacency kernel (reference ``collisions_methods.py:45-59,522-560``)."""
+    isf = isf_ref[...] != 0
+    isfp = isf_p_ref[...] != 0
+
+    a_hi, a_lo = mhi_ref[...], mlo_ref[...]
+    b_hi, b_lo = bhi_ref[...], blo_ref[...]
+    in_pair = isf | isfp
+
+    # j = not-smaller multiplicity; ties go to the pair LEADER (isf slot)
+    a_is_j = (isf & _u64_ge(a_hi, a_lo, b_hi, b_lo)) | (
+        (~isf) & (~_u64_ge(b_hi, b_lo, a_hi, a_lo))
+    )
+    mj_hi = jnp.where(a_is_j, a_hi, b_hi)
+    mj_lo = jnp.where(a_is_j, a_lo, b_lo)
+    mk_hi = jnp.where(a_is_j, b_hi, a_hi)
+    mk_lo = jnp.where(a_is_j, b_lo, a_lo)
+    one = jnp.uint32(1)
+    mk1_lo = jnp.where((mk_hi == 0) & (mk_lo == 0), one, mk_lo)
+
+    # the pair's leader supplies kn and the gamma draw
+    kn = jnp.where(isf, kn_ref[...], kn_p_ref[...])
+    rand = jnp.where(isf, rand_ref[...], rand_p_ref[...])
+    prob = _u64_to_f32(mj_hi, mj_lo) * kn
+    gamma_f = jnp.maximum(jnp.ceil(prob - rand), jnp.float32(0.0))
+    gamma_f = jnp.where(in_pair, gamma_f, jnp.float32(0.0))
+
+    q_est = jnp.floor(
+        _u64_to_f32(mj_hi, mj_lo) / _u64_to_f32(mk_hi, mk1_lo)
+    )
+    big = jnp.float32(2**31 - 128)
+    g_f = jnp.clip(jnp.minimum(q_est, gamma_f), jnp.float32(0.0), big)
+    g = g_f.astype(jnp.int32).astype(jnp.uint32)
+    cap = jnp.clip(gamma_f, jnp.float32(0.0), big).astype(jnp.int32).astype(jnp.uint32)
+    for _ in range(5):
+        p_hi, p_lo = _u64_mul_u32(g, mk_hi, mk1_lo)
+        too_big = ~_u64_ge(mj_hi, mj_lo, p_hi, p_lo)
+        g = jnp.where(too_big, g - 1, g)
+    for _ in range(5):
+        p_hi, p_lo = _u64_mul_u32(g + 1, mk_hi, mk1_lo)
+        fits = _u64_ge(mj_hi, mj_lo, p_hi, p_lo) & (g + 1 <= cap)
+        g = jnp.where(fits, g + 1, g)
+    g = jnp.where(in_pair, g, jnp.uint32(0))
+    gf = _u32_to_f32(g)
+
+    gmk_hi, gmk_lo = _u64_mul_u32(g, mk_hi, mk_lo)
+    nn_hi, nn_lo = _u64_sub(mj_hi, mj_lo, gmk_hi, gmk_lo)
+    split = in_pair & (nn_hi == 0) & (nn_lo == 0) & (g > 0)
+    h_hi, h_lo = _u64_half(mk_hi, mk_lo)
+    r_hi, r_lo = _u64_sub(mk_hi, mk_lo, h_hi, h_lo)
+    mj_new_hi = jnp.where(split, h_hi, nn_hi)
+    mj_new_lo = jnp.where(split, h_lo, nn_lo)
+    mk_new_hi = jnp.where(split, r_hi, mk_hi)
+    mk_new_lo = jnp.where(split, r_lo, mk_lo)
+    i_am_j = in_pair & a_is_j
+    mhi_out_ref[...] = jnp.where(
+        in_pair, jnp.where(i_am_j, mj_new_hi, mk_new_hi), a_hi
+    )
+    mlo_out_ref[...] = jnp.where(
+        in_pair, jnp.where(i_am_j, mj_new_lo, mk_new_lo), a_lo
+    )
+
+    for r in range(ext_ref.shape[0]):
+        e_own = ext_ref[r]
+        e_other = ext_p_ref[r]
+        ej = jnp.where(i_am_j, e_own, e_other)
+        ek_merged = jnp.where(i_am_j, e_other, e_own) + gf * ej
+        e_new = jnp.where(
+            i_am_j,
+            jnp.where(split, ek_merged, ej),
+            ek_merged,
+        )
+        ext_out_ref[r] = jnp.where(in_pair, e_new, e_own)
+
+    mk_f = _u64_to_f32(mk_hi, mk_lo)
+    lead = isf
+    rate_ref[...] = jnp.where(lead, gf * mk_f, jnp.float32(0.0))
+    deficit_ref[...] = jnp.where(lead, (gamma_f - gf) * mk_f, jnp.float32(0.0))
+    coal_ref[...] = jnp.where(lead, gf * mk_f, jnp.float32(0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_coalesce_mirror(
+    mult, ext_rows, kernnorm, rand, is_first, mir_shift, interpret=False
+):
+    """fused probability->gamma->coalesce under the MIRROR croupier
+    (ops/pairing.py): partner(x) = roll(flip(x), mir_shift). Partner rows are
+    produced XLA-side (flip + dynamic roll — a few cheap vector passes) and
+    the kernel writes every slot's final value directly (the matching is an
+    involution; no merge pass). Signature otherwise as ``fused_coalesce``."""
+    squeeze = ext_rows.ndim == 1
+    if squeeze:
+        ext_rows = ext_rows[None, :]
+    kernnorm = kernnorm.astype(jnp.float32)
+    rand = rand.astype(jnp.float32)
+    n_rows = ext_rows.shape[0]
+    n = mult.shape[0]
+    n_pad = -(-n // _BLOCK) * _BLOCK
+    pad = n_pad - n
+
+    words = jax.lax.bitcast_convert_type(mult, jnp.uint32)  # (n, 2)
+    hi_static = int(np.argmax(np.array([2**32], np.int64).view(np.uint32)))
+    m_hi = words[:, hi_static]
+    m_lo = words[:, 1 - hi_static]
+
+    def mir(x, axis=0):
+        return jnp.roll(jnp.flip(x, axis=axis), mir_shift, axis=axis)
+
+    def prep(x, fill=0):
+        x = jnp.pad(x, (0, pad), constant_values=fill) if pad else x
+        return x.reshape(n_pad // LANES, LANES)
+
+    def prep_ext(x):
+        x = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+        return x.reshape(n_rows, n_pad // LANES, LANES)
+
+    isf_i = is_first.astype(jnp.int32)
+    args = (
+        prep(m_hi), prep(m_lo),
+        prep(mir(m_hi)), prep(mir(m_lo)),
+        prep_ext(ext_rows), prep_ext(mir(ext_rows, axis=1)),
+        prep(kernnorm), prep(mir(kernnorm)),
+        prep(rand), prep(mir(rand)),
+        prep(isf_i), prep(mir(isf_i)),
+    )
+    grid = n_pad // _BLOCK
+    spec = pl.BlockSpec(
+        (BLOCK_R, LANES), lambda i: (i, i * 0), memory_space=pltpu.VMEM
+    )
+    ext_spec = pl.BlockSpec(
+        (n_rows, BLOCK_R, LANES),
+        lambda i: (i * 0, i, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [ext_spec if a.ndim == 3 else spec for a in args]
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        _coalesce_kernel_mirror,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=[spec, spec, ext_spec, spec, spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct(
+                (n_rows, n_pad // LANES, LANES), ext_rows.dtype
+            ),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), f32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), f32),
+            jax.ShapeDtypeStruct((n_pad // LANES, LANES), f32),
+        ],
+        interpret=interpret,
+    )(*args)
+    mult_flat = [out[i].reshape(n_pad)[:n] for i in (0, 1)]
+    ext_new = out[2].reshape(n_rows, n_pad)[:, :n]
+    if squeeze:
+        ext_new = ext_new[0]
+    rates = [out[i].reshape(n_pad)[:n] for i in (3, 4, 5)]
+    pair = (
+        jnp.stack([mult_flat[0], mult_flat[1]], axis=-1)
+        if hi_static == 0
+        else jnp.stack([mult_flat[1], mult_flat[0]], axis=-1)
+    )
+    mult_new = jax.lax.bitcast_convert_type(pair, mult.dtype)
+    return (mult_new, ext_new, rates[0], rates[1], rates[2])
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_coalesce(
     mult, ext_rows, kernnorm, rand, is_first, interpret=False

@@ -187,3 +187,68 @@ def test_dispatch_fused_vs_xla_full_sim(adaptive, monkeypatch):
         (m_fused * w_fused).sum(), (m_xla * w_xla).sum(), rtol=1e-9
     )
     np.testing.assert_allclose(m_fused.sum(), m_xla.sum(), rtol=1e-3)
+
+
+@pytest.mark.parametrize("big", (False, True))
+@pytest.mark.parametrize("seed", (1, 9))
+def test_fused_mirror_matches_xla(big, seed):
+    """mirror-croupier fused kernel (``fused_coalesce_mirror``) vs the XLA
+    mirror-pairing ops on randomized single-cell states with dead slots"""
+    from pysdm_tpu.ops.pairing import MirrorPairing
+
+    n = 4096
+    rng = np.random.default_rng(seed)
+    mult = rng.integers(1, 2**40 if big else 1000, size=n).astype(np.int64)
+    dead = rng.uniform(size=n) < 0.05
+    mult[dead] = 0
+    ext = jnp.asarray(
+        rng.uniform(1e-12, 1e-9, size=(2, n)).astype(np.float32)
+    )
+    mult = jnp.asarray(mult)
+    kern = jnp.asarray(rng.uniform(0.0, 3.0, size=n).astype(np.float32))
+    rand = jnp.asarray(rng.uniform(0, 1, size=n).astype(np.float32))
+    K = int(rng.integers(0, n))
+    pairing = MirrorPairing(K, n, mult > 0)
+    is_first = pairing.is_first
+
+    # XLA mirror path
+    prob = coll_ops.collision_probability(
+        kern, mult, None, jnp.ones((1,), jnp.float32), is_first,
+        pairing=pairing,
+    )
+    gamma, _ = coll_ops.compute_gamma(
+        prob, rand, mult, None, is_first, 1, None, pairing=pairing
+    )
+    mult_ref, ext_ref, _ = coll_ops.coalesce(
+        mult, ext, gamma, is_first, None, 1, None, pairing=pairing
+    )
+
+    from pysdm_tpu.ops.pallas.collision import fused_coalesce_mirror
+
+    mult_new, ext_new, rate, deficit, coal = fused_coalesce_mirror(
+        mult, ext, kern, rand, is_first, pairing.shift, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(mult_new), np.asarray(mult_ref))
+    np.testing.assert_allclose(
+        np.asarray(ext_new), np.asarray(ext_ref), rtol=1e-6
+    )
+    mk = jnp.minimum(mult, pairing.partner(mult)).astype(jnp.float32)
+    expect_rate = np.where(
+        np.asarray(is_first),
+        np.asarray(gamma, dtype=np.float32) * np.asarray(mk),
+        0.0,
+    )
+    np.testing.assert_allclose(np.asarray(rate), expect_rate, rtol=1e-5)
+    assert (np.asarray(deficit) >= 0).all()
+    # totals conserved
+    np.testing.assert_allclose(
+        np.asarray(
+            (mult_new.astype(jnp.float64) * ext_new.astype(jnp.float64)).sum(
+                axis=1
+            )
+        ),
+        np.asarray(
+            (mult.astype(jnp.float64) * ext.astype(jnp.float64)).sum(axis=1)
+        ),
+        rtol=1e-6,
+    )
