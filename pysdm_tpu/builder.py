@@ -195,6 +195,55 @@ class Builder:
                 for name in self._u01_purposes
             }
 
+        # shared-sort analysis: one full-state sort per step instead of one
+        # per sorting dynamic. Static fixpoint over the (static) dynamics
+        # order: Collision's bucket shuffle leaves the state cell-sorted,
+        # Displacement/Seeding break it, Condensation consumes it (skipping
+        # its own stable sort when the invariant provably holds at its
+        # position — including across the step boundary: the warm-rain
+        # order Cond -> Advection -> Displacement -> Collision ends sorted,
+        # which is exactly what the next step's Condensation needs). The
+        # start-of-step state must match the end-of-step state (the same
+        # compiled step runs every iteration), so the assumption is only
+        # adopted when the fixpoint closes; the initial state is pre-sorted
+        # below to seed it. n_cell == 1 is vacuously sorted.
+        def _sort_fixpoint(start):
+            flags = {}
+            f = start
+            for dname, dyn in particulator.dynamics.items():
+                if getattr(dyn, "wants_cell_sort", False):
+                    flags[dname] = f
+                    f = True  # it sorts if the invariant didn't hold
+                if getattr(dyn, "restores_cell_sort", False):
+                    f = True
+                if getattr(dyn, "breaks_cell_sort", False):
+                    f = False
+            return flags, f
+
+        n_cell = particulator.mesh.n_cell
+        flags, end_sorted = _sort_fixpoint(True)
+        if not end_sorted and n_cell > 1:
+            flags, _ = _sort_fixpoint(False)
+        presort = False
+        for dname, dyn in particulator.dynamics.items():
+            if getattr(dyn, "wants_cell_sort", False):
+                assume = n_cell == 1 or flags.get(dname, False)
+                dyn._assume_sorted = assume
+                presort = presort or (assume and n_cell > 1)
+            if getattr(dyn, "restores_cell_sort", False):
+                # a spin-up-disabled collision must still sort when a
+                # consumer downstream (possibly next step) relies on it
+                dyn._sort_when_disabled = presort or any(
+                    flags.get(d, False) for d in flags
+                )
+        if presort:
+            from .ops.segments import sort_state_by_cell
+
+            particles, _, _ = sort_state_by_cell(
+                particulator.sim_state["particles"], n_cell, particulator.mesh
+            )
+            particulator.sim_state["particles"] = particles
+
         # compose per-step function from dynamics (insertion order is
         # semantically significant — reference particulator.py:50-56)
         named_step_fns = [
@@ -229,6 +278,7 @@ class Builder:
         particulator._named_step_fns = [
             (name, jax.jit(fn)) for name, fn in named_step_fns
         ]
+        particulator._named_step_fns_raw = named_step_fns
 
         def full_step(sim):
             for fn in step_fns:

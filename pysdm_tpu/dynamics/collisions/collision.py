@@ -31,6 +31,10 @@ DEFAULTS = namedtuple("_", ("dt_coal_range", "adaptive", "substeps", "max_multip
 
 
 class Collision:
+    # the bucket-shuffle croupier leaves the state cell-sorted (multi-cell
+    # path), re-establishing the invariant for a following Condensation
+    restores_cell_sort = True
+
     def __init__(
         self,
         *,
@@ -255,6 +259,51 @@ class Collision:
                 else:
                     cell_scale = norm * prob_scale
                 if use_mirror:
+                    from ...ops.pallas.collision import (
+                        LANES as _LANES,
+                        BLOCK_R as _BLOCK_R,
+                        fused_coalesce_mirror_blocks,
+                    )
+
+                    use_blocks = (
+                        n_sd % (_BLOCK_R * _LANES) == 0
+                        and getattr(kernel, "pallas_safe", False)
+                    )
+                    if use_blocks:
+                        # partner fetch fully in-kernel (dynamic-block index
+                        # maps + VMEM rotations): no XLA dynamic roll, no
+                        # per-slot rand row (in-kernel pair-keyed PRF)
+                        attr_rows = jnp.stack(
+                            [attrs_a[name] for name in sorted(attr_names)]
+                        )
+                        seed = jax.random.bits(k_gam, (), jnp.uint32)
+                        (
+                            mult_s, ext_s, rate_c, deficit_c, coal_c,
+                        ) = fused_coalesce_mirror_blocks(
+                            mult_s, ext_s, attr_rows, sorted(attr_names),
+                            lambda a, b: kernel.pairwise(formulae, a, b),
+                            cell_scale[0], pairing.K, seed,
+                            interpret=_interpret_mode(),
+                        )
+                        for cname, val in (
+                            ("collision_rate", rate_c),
+                            ("collision_rate_deficit", deficit_c),
+                            ("coalescence_rate", coal_c),
+                        ):
+                            c = counters[cname]
+                            if "rate_step_sum_max" in counters:
+                                counters["rate_step_sum_max"] = jnp.maximum(
+                                    counters["rate_step_sum_max"], val
+                                )
+                            if jnp.issubdtype(c.dtype, jnp.integer):
+                                add = jnp.round(val).astype(c.dtype)
+                            else:
+                                add = val.astype(c.dtype)
+                            counters[cname] = c + add
+                        particles = particles.replace(
+                            multiplicity=mult_s, extensive=ext_s
+                        )
+                        return particles, counters, key, dt_left
                     kernnorm = kernel_vals.astype(ftype) * cell_scale[0]
                     mult_s, ext_s, rate, deficit, coal = fused_coalesce_mirror(
                         mult_s, ext_s, kernnorm, rand, is_first,
@@ -334,11 +383,28 @@ class Collision:
             particles = particles.replace(multiplicity=mult_s, extensive=ext_s)
             return particles, counters, key, dt_left
 
+        sort_when_disabled = getattr(self, "_sort_when_disabled", False)
+
+        def _disabled_step(sim):
+            # when a downstream dynamic relies on this dynamic's sort
+            # (shared-sort invariant, builder.py), the spin-up-disabled
+            # branch must still leave the state cell-sorted — a stable
+            # cell sort, no physics (same per-step sort count as before
+            # the shared-sort optimization: the consumer's own sort moved
+            # here)
+            if not sort_when_disabled or n_cell == 1:
+                return sim
+            p2, _, _ = seg_ops.sort_state_by_cell(
+                sim["particles"], n_cell, mesh
+            )
+            return {**sim, "particles": p2}
+
         def step(sim):
             # spin-up gate (reference Arabas-2015 SpinUp flips
             # Collision.enable): traced flag, no recompilation on toggle
             return jax.lax.cond(
-                sim["flags"]["collision_enable"], _enabled_step, lambda s: s, sim
+                sim["flags"]["collision_enable"], _enabled_step,
+                _disabled_step, sim,
             )
 
         def _enabled_step(sim):

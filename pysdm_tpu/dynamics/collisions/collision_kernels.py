@@ -12,6 +12,8 @@ class Golovin:
     """sum-of-volumes kernel with analytic solution (Golovin 1963)"""
 
     required_attributes = ("volume",)
+    # pairwise is pure elementwise jnp: safe to evaluate inside Pallas
+    pallas_safe = True
 
     def __init__(self, b):
         self.b = b
@@ -40,6 +42,8 @@ class Golovin:
 
 class ConstantK:
     required_attributes = ("volume",)
+    # pairwise is pure elementwise jnp: safe to evaluate inside Pallas
+    pallas_safe = True
 
     def __init__(self, a):
         self.a = a
@@ -55,6 +59,8 @@ class Linear:
     """K = a + b * (v + v') (reference ``collision_kernels/linear.py``)"""
 
     required_attributes = ("volume",)
+    # pairwise is pure elementwise jnp: safe to evaluate inside Pallas
+    pallas_safe = True
 
     def __init__(self, a, b):
         self.a = a

@@ -25,6 +25,11 @@ DEFAULTS = namedtuple("_", ("rtol_x", "rtol_thd", "cond_range", "schedule"))(
 
 
 class Condensation:
+    # requests the cell-sorted invariant from the builder's shared-sort
+    # analysis: when the state provably enters this step cell-sorted
+    # (post-collision bucket shuffle), the stable sort here is skipped
+    wants_cell_sort = True
+
     def __init__(
         self,
         *,
@@ -36,6 +41,7 @@ class Condensation:
         schedule: str = DEFAULTS.schedule,
         max_iters: int = 16,
         update_thd: bool = True,
+        failure_doubling_cap: int = 64,
     ):
         if adaptive and substeps != 1:
             raise ValueError(
@@ -51,6 +57,9 @@ class Condensation:
         self.schedule = schedule
         self.max_iters = max_iters
         self.update_thd = update_thd
+        # Richardson failure-doubling cap (ops/condensation.py): raise for
+        # stiff configs when the device watchdog budget allows
+        self.failure_doubling_cap = failure_doubling_cap
 
     def register(self, builder):
         self.particulator = builder.particulator
@@ -91,21 +100,37 @@ class Condensation:
             dt_range=self.dt_cond_range,
             adaptive=self.adaptive,
             max_iters=self.max_iters,
+            failure_doubling_cap=self.failure_doubling_cap,
         )
         update_thd = self.update_thd
 
         from ..environments.impl.moist import recalc_thermo
         from ..ops.segments import sort_state_by_cell
 
+        assume_sorted = getattr(self, "_assume_sorted", False)
+
         def step(sim):
             particles = sim["particles"]
             env = dict(sim["env"])
             counters = dict(sim["counters"])
             # the solver requires cell-sorted drops (cumsum-based per-cell
-            # coupling — no TPU scatters); the state stays sorted afterwards
-            particles, _sorted_cell, cell_start = sort_state_by_cell(
-                particles, n_cell, mesh
-            )
+            # coupling — no TPU scatters); when the builder's shared-sort
+            # analysis proves the state already enters cell-sorted (the
+            # previous step's collision shuffle — ONE sort per step total),
+            # only the segment starts are recomputed. Dead drops then sit
+            # inside the last cell's segment (their reconstructed cell_id
+            # clips to n_cell-1) and are masked per-drop by multiplicity in
+            # the solver.
+            if assume_sorted:
+                cell_start = jnp.searchsorted(
+                    particles.cell_id.astype(jnp.int32),
+                    jnp.arange(n_cell + 1, dtype=jnp.int32),
+                    side="left",
+                ).astype(jnp.int32)
+            else:
+                particles, _sorted_cell, cell_start = sort_state_by_cell(
+                    particles, n_cell, mesh
+                )
             signed_mass = particles.ext("signed water mass")
             attrs = {
                 "water_mass": signed_mass,

@@ -22,6 +22,10 @@ DEFAULTS = namedtuple("_", ("rtol", "adaptive"))(rtol=1e-2, adaptive=True)
 
 
 class Displacement:
+    # moving particles between cells invalidates the cell-sorted state
+    # invariant the shared-sort analysis tracks (builder.py)
+    breaks_cell_sort = True
+
     def __init__(
         self,
         enable_sedimentation=False,
@@ -49,7 +53,8 @@ class Displacement:
         builder.add_counter("precipitated_mass", 1, None)
         builder.add_counter("max_n_substeps_displacement", 1, jnp.int32, fill=1)
         if self.distributed_x is not None:
-            builder.add_counter("migration_dropped", 1, jnp.int64)
+            # [send_overflow, placement_overflow] breakdown (parallel/migration.py)
+            builder.add_counter("migration_dropped", 2, jnp.int64)
             builder.add_counter("migration_far_moves", 1, jnp.int64)
 
     @property
@@ -233,7 +238,7 @@ class Displacement:
                 )
                 particles = particles.replace(extensive=extensive, maximum=maximum)
                 counters["migration_dropped"] = (
-                    counters["migration_dropped"] + n_dropped.reshape(1)
+                    counters["migration_dropped"] + n_dropped
                 )
             cell_id = disp_ops.recalculate_cell_id(cell_origin, strides)
             particles = particles.replace(

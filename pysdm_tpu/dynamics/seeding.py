@@ -14,6 +14,9 @@ from ..initialisation.discretise_multiplicities import discretise_multiplicities
 
 
 class Seeding:
+    # injecting particles into grave slots breaks cell-sorted order
+    breaks_cell_sort = True
+
     def __init__(
         self,
         *,

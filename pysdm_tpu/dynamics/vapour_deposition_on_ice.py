@@ -98,19 +98,19 @@ class VapourDepositionOnIce:
             # on fixed Eulerian grids
             m_d_cell = env.get("m_d", dv * env["rhod"])
             avail = jnp.maximum(env["qv"] - qv_sat_ice, 0.0)
-            # cap only NON-FINITE growth at the cell's entire vapour excess:
-            # in a log coordinate the explicit-Euler mass of a freshly
-            # nucleated crystal can overflow exp() to inf, and inf * the
-            # limiter's zero scale would turn into NaN (observed as a
-            # one-in-2^52 rounding-dependent blow-up in the Abade &
-            # Albuquerque glaciation run). Large-but-finite demands are left
-            # to the exact proportional budget limiter below, so vapour is
-            # not redistributed toward small drops relative to pure
-            # proportional scaling.
-            cap = (avail * m_d_cell)[cell] / jnp.maximum(
-                mult.astype(ftype), jnp.ones((), ftype)
-            )
-            dm = jnp.where(jnp.isfinite(dm), dm, cap)
+            # pre-limiter guards (in a log coordinate the explicit-Euler
+            # mass of a freshly nucleated crystal can overflow exp() to inf,
+            # or go indeterminate):
+            # - NaN dm -> 0: an indeterminate step must not become growth;
+            # - positive dm clamped to the cell's ENTIRE vapour budget
+            #   (avail * m_d, no mult division): keeps huge-but-finite
+            #   demands from overflowing the segment_sum below (dm * mult
+            #   > f32max would make demand = inf, scale = avail/inf = 0,
+            #   silently zeroing EVERY drop's deposition in the cell) while
+            #   leaving ordinary demands to the exact proportional limiter.
+            cap = (avail * m_d_cell)[cell]
+            dm = jnp.where(jnp.isnan(dm), jnp.zeros((), ftype), dm)
+            dm = jnp.minimum(dm, cap)
             demand = jax.ops.segment_sum(
                 jnp.maximum(dm, 0.0) * mult.astype(ftype),
                 cell,

@@ -42,6 +42,7 @@ def make_condensation_solver(
     RH_rtol=1e-7,
     max_iters=16,
     bisect_iters=64,
+    failure_doubling_cap=64,
     use_pallas=None,
 ):
     """build the jit-traceable condensation step closed over formulae/config"""
@@ -271,6 +272,11 @@ def make_condensation_solver(
         thd_d, qv_d, rhod_d, dt_sub_d, act_d, rho_d, mu_d = (
             pack_d[:, i] for i in range(7)
         )
+        # dead drops (multiplicity 0) are inert: when the state rides a
+        # shared sort (bucket-shuffle order) they sit INSIDE the last
+        # cell's segment rather than a trailing bucket, and must neither
+        # be solved nor allowed to fail the cell
+        act_d = jnp.where(mult_f > 0, act_d, jnp.zeros((), ftype))
         if fused_masses_new is not None:
             # fused Pallas fast path: per-drop thermo + Koehler + bracket +
             # bisection in one VMEM-resident pass (ops/pallas/condensation.py)
@@ -442,11 +448,12 @@ def make_condensation_solver(
         are exact in f32/f64 and cannot overflow — an int32 n doubled by
         a persistently-failing cell wraps to 0 after 32 doublings
         (5 * 2^32 == 0), making dt_sub = dt/0 = inf and silently freezing
-        the cell (observed on TPU, round 4). NOTE: thd_long is recomputed
-        after phase 1 rather than carried through it — an extra vector
-        carry on that while_loop (whose body invokes the Pallas cumsum
-        via sorted_segment_sum) produced runtime TPU device faults in the
-        2.56M-SD fused warm-rain program (round 4)."""
+        the cell (observed on TPU, round 4). NOTE: thd_long IS carried
+        through the phase-1 while_loop (saving one fake substep per
+        adaptive step) — the round-4 device faults once suspected of this
+        carry were attributed to the unbounded failure-doubling loop
+        tripping the execution watchdog (PERF_NOTES.md), and the carry was
+        re-validated on silicon after the cap below landed."""
         ftype = thd.dtype
         n_max_f = jnp.asarray(n_substeps_max, ftype)
         # a cell whose fake substep STILL fails at this count will not be
@@ -459,7 +466,8 @@ def make_condensation_solver(
         # the reference raises on failure instead of re-halving forever,
         # impl_numba condensation_methods.py:670-696)
         n_fail_cap = jnp.asarray(
-            max(n_substeps_min, min(n_substeps_max, 64)), ftype
+            max(n_substeps_min, min(n_substeps_max, failure_doubling_cap)),
+            ftype,
         )
         n = jnp.maximum(
             jnp.asarray(n_substeps_min, ftype),

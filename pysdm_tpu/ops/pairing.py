@@ -76,6 +76,7 @@ class MirrorPairing:
     def __init__(self, K, n_sd, alive):
         self.n_sd = n_sd
         K = jnp.asarray(K, jnp.int32)
+        self.K = K
         self.shift = (K + 1) % n_sd
         o = jnp.arange(n_sd, dtype=jnp.int32)
         partner_o = (K - o) % n_sd

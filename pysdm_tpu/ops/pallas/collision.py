@@ -399,6 +399,324 @@ def fused_coalesce_mirror(
     return (mult_new, ext_new, rates[0], rates[1], rates[2])
 
 
+def _u01_hash(seed, pair_id):
+    """counter-based u01 draw from the pair identity (murmur3-finalizer x2):
+    both members of a mirror pair compute the identical value from
+    min(o, partner_o), eliminating the need to transport the leader's RNG
+    draw across the pair (saves one HBM row + its dual fetch). Quality is
+    that of a standard counter-based PRF (avalanche-complete finalizer);
+    the croupier RNG stream is implementation-defined (the reference's GPU
+    and CPU backends already use different streams)."""
+    h = seed ^ (pair_id.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    for _ in range(2):
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+    return (h >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        2.0**-24
+    )
+
+
+def _mk_mirror_block_kernel(n, block_r, n_ext, n_attr, attr_names, kernel_fn):
+    """build the in-kernel-partner-fetch mirror coalesce kernel body.
+
+    Partner geometry: with Y = flip(x) (XLA-side static reverse, one cheap
+    pass per row), partner(x)[f] = x[(K - f) mod N] = Y[(f + D) mod N] with
+    D = (N - 1 - K) mod N. For own block j the partner window is the flat
+    slice Y[jB + D, jB + D + B) — it spans two consecutive blocks
+    (j + d_blk) and (j + d_blk + 1) fetched via scalar-prefetch-driven
+    index maps, realigned in VMEM with two ``pltpu.roll`` rotations (sublane
+    + lane with row-carry select). No XLA dynamic roll, no gather, no sort.
+    """
+    R = block_r
+    LB = R * LANES
+
+    def kernel(s_ref, *refs):
+        # refs: own[mhi mlo ext attr] flipA[...] flipB[...] scale_ref outs
+        n_own = 2 + n_ext + n_attr
+        own = refs[:n_own]
+        flip_a = refs[n_own : 2 * n_own]
+        flip_b = refs[2 * n_own : 3 * n_own]
+        scale_ref = refs[3 * n_own]
+        (mhi_out_ref, mlo_out_ref, ext_out_ref,
+         rate_ref, deficit_ref, coal_ref) = refs[3 * n_own + 1 :]
+
+        # under x64 every traced scalar (incl. the grid index) arrives as
+        # i64, which Mosaic cannot legalize — pin i32 explicitly throughout
+        i32 = jnp.int32
+        r_sh = s_ref[1].astype(i32)
+        l_sh = s_ref[2].astype(i32)
+        thresh = s_ref[3].astype(i32)
+        K = s_ref[4].astype(i32)
+        seed = s_ref[5].astype(jnp.uint32)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        j = pl.program_id(0).astype(i32)
+
+        def partner(a_blk, b_blk):
+            conc = jnp.concatenate([a_blk, b_blk], axis=0)  # (2R, LANES)
+            zp = pltpu.roll(conc, r_sh, 0)[: R + 1]
+            zs = pltpu.roll(zp, l_sh, 1)
+            return jnp.where(lane < thresh, zs[:R], zs[1 : R + 1])
+
+        a_hi, a_lo = own[0][...], own[1][...]
+        b_hi = partner(flip_a[0][...], flip_b[0][...])
+        b_lo = partner(flip_a[1][...], flip_b[1][...])
+
+        o = (j * i32(R) + row) * i32(LANES) + lane
+        po = K - o
+        po = jnp.where(po < 0, po + i32(n), po)
+        alive = (a_hi | a_lo) != 0
+        palive = (b_hi | b_lo) != 0
+        in_pair = alive & palive & (po != o)
+        isf = in_pair & (po > o)
+
+        # j = not-smaller multiplicity; ties go to the pair LEADER
+        a_is_j = (isf & _u64_ge(a_hi, a_lo, b_hi, b_lo)) | (
+            (~isf) & (~_u64_ge(b_hi, b_lo, a_hi, a_lo))
+        )
+        mj_hi = jnp.where(a_is_j, a_hi, b_hi)
+        mj_lo = jnp.where(a_is_j, a_lo, b_lo)
+        mk_hi = jnp.where(a_is_j, b_hi, a_hi)
+        mk_lo = jnp.where(a_is_j, b_lo, a_lo)
+        one = jnp.uint32(1)
+        mk1_lo = jnp.where((mk_hi == 0) & (mk_lo == 0), one, mk_lo)
+
+        # kernel value from own + partner attribute rows (symmetric in the
+        # pair, so one evaluation serves both members)
+        attrs_a = {
+            name: own[2 + n_ext + i][...]
+            for i, name in enumerate(attr_names)
+        }
+        attrs_b = {
+            name: partner(
+                flip_a[2 + n_ext + i][...], flip_b[2 + n_ext + i][...]
+            )
+            for i, name in enumerate(attr_names)
+        }
+        kn = kernel_fn(attrs_a, attrs_b).astype(jnp.float32) * scale_ref[0, 0]
+
+        # the pair's u01 comes from the pair identity (same at both ends)
+        pair_id = jnp.minimum(o, po)
+        rand = _u01_hash(seed, pair_id)
+
+        prob = _u64_to_f32(mj_hi, mj_lo) * kn
+        gamma_f = jnp.maximum(jnp.ceil(prob - rand), jnp.float32(0.0))
+        gamma_f = jnp.where(in_pair, gamma_f, jnp.float32(0.0))
+
+        q_est = jnp.floor(
+            _u64_to_f32(mj_hi, mj_lo) / _u64_to_f32(mk_hi, mk1_lo)
+        )
+        big = jnp.float32(2**31 - 128)
+        g_f = jnp.clip(jnp.minimum(q_est, gamma_f), jnp.float32(0.0), big)
+        g = g_f.astype(jnp.int32).astype(jnp.uint32)
+        cap = (
+            jnp.clip(gamma_f, jnp.float32(0.0), big)
+            .astype(jnp.int32)
+            .astype(jnp.uint32)
+        )
+        for _ in range(5):
+            p_hi, p_lo = _u64_mul_u32(g, mk_hi, mk1_lo)
+            too_big = ~_u64_ge(mj_hi, mj_lo, p_hi, p_lo)
+            g = jnp.where(too_big, g - 1, g)
+        for _ in range(5):
+            p_hi, p_lo = _u64_mul_u32(g + 1, mk_hi, mk1_lo)
+            fits = _u64_ge(mj_hi, mj_lo, p_hi, p_lo) & (g + 1 <= cap)
+            g = jnp.where(fits, g + 1, g)
+        g = jnp.where(in_pair, g, jnp.uint32(0))
+        gf = _u32_to_f32(g)
+
+        gmk_hi, gmk_lo = _u64_mul_u32(g, mk_hi, mk_lo)
+        nn_hi, nn_lo = _u64_sub(mj_hi, mj_lo, gmk_hi, gmk_lo)
+        split = in_pair & (nn_hi == 0) & (nn_lo == 0) & (g > 0)
+        h_hi, h_lo = _u64_half(mk_hi, mk_lo)
+        rr_hi, rr_lo = _u64_sub(mk_hi, mk_lo, h_hi, h_lo)
+        mj_new_hi = jnp.where(split, h_hi, nn_hi)
+        mj_new_lo = jnp.where(split, h_lo, nn_lo)
+        mk_new_hi = jnp.where(split, rr_hi, mk_hi)
+        mk_new_lo = jnp.where(split, rr_lo, mk_lo)
+        i_am_j = in_pair & a_is_j
+        mhi_out_ref[...] = jnp.where(
+            in_pair, jnp.where(i_am_j, mj_new_hi, mk_new_hi), a_hi
+        )
+        mlo_out_ref[...] = jnp.where(
+            in_pair, jnp.where(i_am_j, mj_new_lo, mk_new_lo), a_lo
+        )
+
+        for r in range(n_ext):
+            e_own = own[2 + r][...]
+            e_other = partner(flip_a[2 + r][...], flip_b[2 + r][...])
+            ej = jnp.where(i_am_j, e_own, e_other)
+            ek_merged = jnp.where(i_am_j, e_other, e_own) + gf * ej
+            e_new = jnp.where(
+                i_am_j,
+                jnp.where(split, ek_merged, ej),
+                ek_merged,
+            )
+            ext_out_ref[r] = jnp.where(in_pair, e_new, e_own)
+
+        # per-block (8, LANES) rate partials (Mosaic wants >= (8,128)
+        # output tiles; the caller sums the (G*8, LANES) outputs)
+        mk_f = _u64_to_f32(mk_hi, mk_lo)
+        lead = isf
+
+        def _partial(x):
+            return jnp.sum(x.reshape(R // 8, 8, LANES), axis=0)
+
+        rate_ref[...] = _partial(
+            jnp.where(lead, gf * mk_f, jnp.float32(0.0))
+        )
+        deficit_ref[...] = _partial(
+            jnp.where(lead, (gamma_f - gf) * mk_f, jnp.float32(0.0))
+        )
+        coal_ref[...] = _partial(
+            jnp.where(lead, gf * mk_f, jnp.float32(0.0))
+        )
+
+    return kernel
+
+
+def fused_coalesce_mirror_blocks(
+    mult, ext_rows, attr_rows, attr_names, kernel_fn, scale, K, seed,
+    block_r=BLOCK_R, interpret=False,
+):
+    """mirror-croupier fused coalescence with the partner fetch INSIDE the
+    kernel: requires n % (block_r * 128) == 0 (callers fall back to
+    ``fused_coalesce_mirror`` otherwise) and an elementwise-safe collision
+    kernel (``kernel_fn(attrs_a, attrs_b)`` evaluated in-kernel on f32
+    lanes — collision kernel classes advertise this via ``pallas_safe``).
+
+    ``scale`` folds norm_factor (dt/dv*N) and any adaptive/substep
+    probability scaling; ``seed`` (u32) keys the in-kernel pair-u01 PRF.
+    Returns (mult_new i64, ext_new, rate, deficit, coal) with the rates as
+    per-cell scalars (single cell)."""
+    squeeze = ext_rows.ndim == 1
+    if squeeze:
+        ext_rows = ext_rows[None, :]
+    if attr_rows.ndim == 1:
+        attr_rows = attr_rows[None, :]
+    n = mult.shape[0]
+    LB = block_r * LANES
+    assert n % LB == 0, "caller must check divisibility"
+    assert block_r % 8 == 0
+    G = n // LB
+    n_ext = ext_rows.shape[0]
+    n_attr = attr_rows.shape[0]
+
+    words = jax.lax.bitcast_convert_type(mult, jnp.uint32)  # (n, 2)
+    hi_static = int(np.argmax(np.array([2**32], np.int64).view(np.uint32)))
+    m_hi = words[:, hi_static]
+    m_lo = words[:, 1 - hi_static]
+    attr_rows = attr_rows.astype(jnp.float32)
+
+    shape2 = lambda x: x.reshape(n // LANES, LANES)
+    own_rows = (
+        [shape2(m_hi), shape2(m_lo)]
+        + [shape2(ext_rows[r]) for r in range(n_ext)]
+        + [shape2(attr_rows[r]) for r in range(n_attr)]
+    )
+    flip_rows = [shape2(jnp.flip(r.reshape(-1))) for r in own_rows]
+
+    # partner-window scalars: D = (N-1-K) mod N decomposed into block,
+    # sublane-rotate and lane-rotate amounts (see _mk_mirror_block_kernel)
+    K = jnp.asarray(K, jnp.int32)
+    D = (n - 1 - K) % n
+    d_blk = D // LB
+    d_off = D % LB
+    r_off = d_off // LANES
+    l_off = d_off % LANES
+    r_sh = (-r_off) % (2 * block_r)
+    l_sh = (-l_off) % LANES
+    thresh = LANES - l_off
+    scalars = jnp.stack(
+        [
+            d_blk,
+            r_sh,
+            l_sh,
+            thresh,
+            K,
+            jnp.asarray(seed, jnp.uint32).astype(jnp.int32),
+        ]
+    )
+    scale_arr = jnp.full((8, LANES), scale, jnp.float32)
+
+    # x64 pitfall: index-map functions trace with i64 grid indices, which
+    # Mosaic fails to legalize — cast every index-map value to i32 and
+    # avoid jnp remainder (its promotion path recurses); the modular
+    # wraparound is a compare-subtract since d_blk < G
+    i32 = jnp.int32
+
+    def _wrap(d):
+        d = jnp.where(d >= G, d - G, d)
+        return jnp.where(d >= G, d - G, d).astype(i32)
+
+    spec_own = pl.BlockSpec(
+        (block_r, LANES), lambda i, s: (i32(i), i32(0))
+    )
+    spec_fa = pl.BlockSpec(
+        (block_r, LANES), lambda i, s: (_wrap(i32(i) + s[0]), i32(0))
+    )
+    spec_fb = pl.BlockSpec(
+        (block_r, LANES),
+        lambda i, s: (_wrap(i32(i) + s[0] + i32(1)), i32(0)),
+    )
+    spec_scale = pl.BlockSpec((8, LANES), lambda i, s: (i32(0), i32(0)))
+    spec_blk1 = pl.BlockSpec((8, LANES), lambda i, s: (i32(i), i32(0)))
+    ext_out_spec = pl.BlockSpec(
+        (n_ext, block_r, LANES), lambda i, s: (i32(0), i32(i), i32(0))
+    )
+
+    kernel = _mk_mirror_block_kernel(
+        n, block_r, n_ext, n_attr, tuple(attr_names), kernel_fn
+    )
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G,),
+            in_specs=(
+                [spec_own] * len(own_rows)
+                + [spec_fa] * len(own_rows)
+                + [spec_fb] * len(own_rows)
+                + [spec_scale]
+            ),
+            out_specs=[
+                spec_own,
+                spec_own,
+                ext_out_spec,
+                spec_blk1,
+                spec_blk1,
+                spec_blk1,
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((n_ext, n // LANES, LANES), ext_rows.dtype),
+            jax.ShapeDtypeStruct((G * 8, LANES), f32),
+            jax.ShapeDtypeStruct((G * 8, LANES), f32),
+            jax.ShapeDtypeStruct((G * 8, LANES), f32),
+        ],
+        interpret=interpret,
+    )(scalars, *own_rows, *flip_rows, *flip_rows, scale_arr)
+    mult_flat = [out[i].reshape(n) for i in (0, 1)]
+    ext_new = out[2].reshape(n_ext, n)
+    if squeeze:
+        ext_new = ext_new[0]
+    pair = (
+        jnp.stack([mult_flat[0], mult_flat[1]], axis=-1)
+        if hi_static == 0
+        else jnp.stack([mult_flat[1], mult_flat[0]], axis=-1)
+    )
+    mult_new = jax.lax.bitcast_convert_type(pair, mult.dtype)
+    rate, deficit, coal = (out[i].sum() for i in (3, 4, 5))
+    return mult_new, ext_new, rate, deficit, coal
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_coalesce(
     mult, ext_rows, kernnorm, rand, is_first, interpret=False

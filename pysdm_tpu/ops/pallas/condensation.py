@@ -224,6 +224,11 @@ def make_fused_masses_new(
         """returns (mass_new, success_per_drop: bool); accepts f64 inputs
         from the CPU/interpret test path (cast to f32 at the boundary)"""
         in_dtype = water_mass.dtype
+        arg_names = (
+            "water_mass", "vdry", "kappa", "f_org", "reynolds",
+            "thd_d", "qv_d", "rhod_d", "dt_sub_d", "act_d", "rho_air_d",
+            "mu_air_d",
+        )
         args = [
             jnp.asarray(x, jnp.float32)
             for x in (
@@ -245,7 +250,11 @@ def make_fused_masses_new(
                 x = jnp.pad(x, (0, pad), mode="edge" if edge else "constant")
             return x.reshape(n_pad // LANES, LANES)
 
-        act_index = 9
+        # derive the activity-mask position from the name tuple — a
+        # positional constant would silently flip which input gets
+        # zero-padding vs edge-padding on any future reorder
+        act_index = arg_names.index("act_d")
+        assert len(args) == len(arg_names)
         args = [prep(x, edge=(i != act_index)) for i, x in enumerate(args)]
         grid = n_pad // _BLOCK
         spec = pl.BlockSpec(

@@ -75,19 +75,26 @@ def migrate_ring(
     arrays: list of per-particle arrays ((n,) or (k, n)); the one at
     ``multiplicity_index`` is the (integer) multiplicity defining liveness.
     Returns (arrays, n_dropped) with migrated particles zeroed at the source
-    and placed into dead slots at the destination.
+    and placed into dead slots at the destination. ``n_dropped`` is a
+    shape-(2,) int64 breakdown — [send_overflow, placement_overflow] — so
+    saturation diagnoses point at the right knob: send overflow wants more
+    ``rounds`` or ``capacity``; placement overflow wants more free slots at
+    the receiver (n_sd headroom). Note a within-round arrival that finds no
+    free slot is dropped even though later rounds might free slots — the
+    multi-round retry helps senders over capacity, not receivers over
+    occupancy (accepted limitation of fixed-capacity buffers).
 
     The exchange runs up to ``rounds`` passes (static — shapes stay fixed);
     each pass ships up to ``capacity`` of the *remaining* departures per
     direction, so migration bursts (rain shafts, strong crosswind piling
     movers onto one boundary) ride extra passes instead of being dropped.
     Only what is still undelivered after the final pass is killed and
-    counted in ``n_dropped`` (deficit-style accounting like the reference's
-    breakup overflows, ``collisions_methods.py:64-93``)."""
+    counted (deficit-style accounting like the reference's breakup
+    overflows, ``collisions_methods.py:64-93``)."""
     n_shards = lax.psum(1, axis_name)
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-    n_dropped = jnp.zeros((), jnp.int64)
+    n_dropped_place = jnp.zeros((), jnp.int64)
     # per-slot outstanding destination; cleared when the slot's particle
     # ships AND when an arrival is placed into the slot (an arrived particle
     # is home — a stale pending value must not re-ship it next round)
@@ -124,14 +131,14 @@ def migrate_ring(
                 bufs + [jnp.zeros(valid.shape[0], pending.dtype)], valid,
             )
             arrays, pending = placed[:-1], placed[-1]
-            n_dropped = n_dropped + n_lost.astype(jnp.int64)
+            n_dropped_place = n_dropped_place + n_lost.astype(jnp.int64)
 
-    # undeliverable leftovers: kill + count
+    # undeliverable leftovers (send-capacity overflow): kill + count
     mult = arrays[multiplicity_index]
     leftover = (pending != 0) & (mult > 0)
-    n_dropped = n_dropped + jnp.sum(leftover).astype(jnp.int64)
+    n_dropped_send = jnp.sum(leftover).astype(jnp.int64)
     arrays = [
         jnp.where(leftover, 0, a) if i == multiplicity_index else a
         for i, a in enumerate(arrays)
     ]
-    return arrays, n_dropped
+    return arrays, jnp.stack([n_dropped_send, n_dropped_place])

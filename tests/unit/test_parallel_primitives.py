@@ -97,7 +97,7 @@ def test_migrate_ring_conserves_particles(mesh):
                 axis_name="x",
                 capacity=cap,
             )
-            return arrays[0], arrays[1], dropped.reshape(1)
+            return arrays[0], arrays[1], dropped
 
         return shard_map(
             shard_fn,
@@ -160,7 +160,7 @@ def test_migrate_ring_overflow_counts_dropped(mesh):
                     capacity=cap,
                     rounds=rounds,
                 )
-                return arrays[0], dropped.reshape(1)
+                return arrays[0], dropped
 
             return shard_map(
                 shard_fn, mesh=mesh,
@@ -171,9 +171,12 @@ def test_migrate_ring_overflow_counts_dropped(mesh):
         return run
 
     args = (jnp.asarray(mult0), jnp.asarray(payload), jnp.asarray(shift))
-    # single pass: 6 movers, 4 shipped -> 2 dropped per shard
+    # single pass: 6 movers, 4 shipped -> 2 dropped per shard, attributed
+    # to SEND overflow in the [send, placement] breakdown
     mult_out, dropped = make_run(rounds=1)(*args)
-    assert int(np.asarray(dropped).sum()) == 2 * N_DEV
+    dropped = np.asarray(dropped).reshape(N_DEV, 2)
+    assert int(dropped[:, 0].sum()) == 2 * N_DEV  # send overflow
+    assert int(dropped[:, 1].sum()) == 0          # no placement overflow
     assert np.asarray(mult_out).sum() == mult0.sum() - 2 * N_DEV * 5
     # default two passes: the burst fits in 2*cap -> everyone delivered
     mult_out2, dropped2 = make_run(rounds=2)(*args)
