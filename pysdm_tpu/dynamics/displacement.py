@@ -88,12 +88,17 @@ class Displacement:
             )
         domain_top = grid[-1]
 
-        def n_substeps_from_courant(courant, ftype):
+        def n_substeps_from_courant(courant, ftype, axis_name=None):
             """smallest power of two n with (d/n)/(1-d/n) < rtol where
             d = max |delta courant| (reference ``upload_courant_field``)"""
             d_max = jnp.zeros((), ftype)
             for d, c in enumerate(courant):
                 d_max = jnp.maximum(d_max, jnp.max(jnp.abs(jnp.diff(c, axis=d))))
+            if axis_name is not None:
+                # the substep count must be a GLOBAL decision: a per-shard
+                # max would give slabs different time resolutions and break
+                # shard-count invariance (caught by the dryrun allclose)
+                d_max = jax.lax.pmax(d_max, axis_name)
 
             def cond(n):
                 x = d_max / n
@@ -123,7 +128,12 @@ class Displacement:
                 )
             ftype = courant[0].dtype
             if adaptive:
-                n_sub = n_substeps_from_courant(courant, ftype)
+                n_sub = n_substeps_from_courant(
+                    courant, ftype,
+                    axis_name=(
+                        distributed["axis_name"] if distributed else None
+                    ),
+                )
             else:
                 n_sub = jnp.asarray(1, jnp.int32)
             n_sub_f = n_sub.astype(ftype)

@@ -283,6 +283,42 @@ class DistributedSimulation2D:
             local_strides[:, None] * np.asarray(full.cell_origin)
         ).sum(axis=0).astype(np.int32)
         full = full.replace(cell_id=jnp.asarray(cell_id))
+        # each shard block must satisfy the builder's cell-sorted invariant
+        # (dead padding trailing): the template build pre-sorted only ITS
+        # state; this stacked global state replaces it, and a following
+        # Condensation may skip its sort on the strength of that invariant
+        # (shared-sort analysis, builder.py)
+        n_cell_local = nxl * nz
+        order = np.empty(n_shards * capacity, dtype=np.int64)
+        mult_np = np.asarray(full.multiplicity)
+        alive_np = mult_np > 0
+        for s in range(n_shards):
+            lo = s * capacity
+            key = np.where(
+                alive_np[lo : lo + capacity],
+                cell_id[lo : lo + capacity],
+                n_cell_local,
+            )
+            order[lo : lo + capacity] = lo + np.argsort(key, kind="stable")
+        order_j = jnp.asarray(order)
+        full = jax.tree_util.tree_map(
+            lambda a: a[..., order_j] if a.ndim and a.shape[-1] == order.size
+            else a,
+            full,
+        )
+        # dead padding must read cell_id n_cell-1 so the sorted cell_id row
+        # stays ascending (the bucket-shuffle steady-state convention,
+        # ops/segments.py reconstruct_cell_rows) — searchsorted on a
+        # non-monotonic row yields garbage segment starts, which the
+        # shard-count-invariance test caught as shard-dependent condensation
+        # substep counts
+        full = full.replace(
+            cell_id=jnp.where(
+                jnp.asarray(alive_np)[order_j],
+                full.cell_id,
+                jnp.asarray(n_cell_local - 1, full.cell_id.dtype),
+            )
+        )
 
         env0 = p.sim_state["env"]
         env = {k: jnp.tile(v, (n_shards,) + (1,) * (v.ndim - 1)) if v.ndim else
