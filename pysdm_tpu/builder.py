@@ -207,6 +207,18 @@ class Builder:
         # compiled step runs every iteration), so the assumption is only
         # adopted when the fixpoint closes; the initial state is pre-sorted
         # below to seed it. n_cell == 1 is vacuously sorted.
+        # deferred commit steps (comm/compute overlap: a dynamic may split
+        # its communication into start-inside-its-step + commit-after-the-
+        # last-physics-dynamic; the commit scatters arrivals into grave
+        # slots and so breaks the cell-sorted invariant at END of step)
+        commit_fns = [
+            (dname + "Commit", fn)
+            for dname, dyn in particulator.dynamics.items()
+            if hasattr(dyn, "make_commit_step")
+            for fn in [dyn.make_commit_step(particulator)]
+            if fn is not None
+        ]
+
         def _sort_fixpoint(start):
             flags = {}
             f = start
@@ -218,6 +230,8 @@ class Builder:
                     f = True
                 if getattr(dyn, "breaks_cell_sort", False):
                     f = False
+            if commit_fns:
+                f = False
             return flags, f
 
         n_cell = particulator.mesh.n_cell
@@ -251,6 +265,7 @@ class Builder:
             for name, dynamic in particulator.dynamics.items()
             if hasattr(dynamic, "make_step")
         ]
+        named_step_fns.extend(commit_fns)
         # environment predicted->current commit runs last (the reference's
         # swap-on-notify observer ordering, particulator.py:58-61)
         if hasattr(self.environment, "make_commit_step"):

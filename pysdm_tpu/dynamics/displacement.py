@@ -214,8 +214,13 @@ class Displacement:
                     ),
                 )
             )
+            out_extra = {}
             if distributed is not None:
-                from ..parallel.migration import classify_dest_shift, migrate_ring
+                from ..parallel.migration import (
+                    classify_dest_shift,
+                    migrate_ring,
+                    migrate_ring_start,
+                )
 
                 nx_local = grid[0]
                 x = cell_origin[0]
@@ -235,21 +240,37 @@ class Displacement:
                     cell_origin,
                     position_in_cell,
                 ]
-                arrays, n_dropped = migrate_ring(
-                    arrays=arrays,
-                    multiplicity_index=0,
-                    dest_shift=dest_shift.astype(jnp.int32),
-                    axis_name=distributed["axis_name"],
-                    capacity=distributed["capacity"],
-                    rounds=distributed.get("rounds", 2),
-                )
+                if distributed.get("overlap", True):
+                    # comm/compute overlap: issue the migration ppermutes
+                    # and hand the in-flight buffers down the step — the
+                    # following (cell-local) collision compute does not
+                    # depend on them, so XLA overlaps the transfers; a
+                    # MigrationCommit step (builder-appended after the last
+                    # physics dynamic) places the arrivals
+                    arrays, inflight = migrate_ring_start(
+                        arrays=arrays,
+                        multiplicity_index=0,
+                        dest_shift=dest_shift.astype(jnp.int32),
+                        axis_name=distributed["axis_name"],
+                        capacity=distributed["capacity"],
+                    )
+                    out_extra["migration_inflight"] = inflight
+                else:
+                    arrays, n_dropped = migrate_ring(
+                        arrays=arrays,
+                        multiplicity_index=0,
+                        dest_shift=dest_shift.astype(jnp.int32),
+                        axis_name=distributed["axis_name"],
+                        capacity=distributed["capacity"],
+                        rounds=distributed.get("rounds", 2),
+                    )
+                    counters["migration_dropped"] = (
+                        counters["migration_dropped"] + n_dropped
+                    )
                 multiplicity, extensive, maximum, cell_origin, position_in_cell = (
                     arrays
                 )
                 particles = particles.replace(extensive=extensive, maximum=maximum)
-                counters["migration_dropped"] = (
-                    counters["migration_dropped"] + n_dropped
-                )
             cell_id = disp_ops.recalculate_cell_id(cell_origin, strides)
             particles = particles.replace(
                 cell_origin=cell_origin,
@@ -261,6 +282,63 @@ class Displacement:
             counters["max_n_substeps_displacement"] = jnp.maximum(
                 counters["max_n_substeps_displacement"], n_sub.reshape(1)
             )
-            return {**sim, "particles": particles, "counters": counters}
+            return {
+                **sim, "particles": particles, "counters": counters,
+                **out_extra,
+            }
 
         return step
+
+    def make_commit_step(self, particulator):
+        """overlap mode: place the in-flight migration arrivals started by
+        this dynamic's step (builder appends this AFTER the last physics
+        dynamic so the ppermutes overlap the collision compute). Arrivals
+        scatter into grave slots, so this step breaks the cell-sorted
+        invariant (declared via breaks_cell_sort on the class — the
+        shared-sort fixpoint accounts for it)."""
+        distributed = self.distributed_x
+        if distributed is None or not distributed.get("overlap", True):
+            return None
+        strides = particulator.mesh.strides.ravel()
+
+        def commit(sim):
+            from ..ops import displacement as disp_ops
+            from ..parallel.migration import migrate_ring_commit
+
+            sim = dict(sim)
+            inflight = sim.pop("migration_inflight")
+            particles = sim["particles"]
+            counters = dict(sim["counters"])
+            arrays = [
+                particles.multiplicity,
+                particles.extensive,
+                particles.maximum,
+                particles.cell_origin,
+                particles.position_in_cell,
+            ]
+            arrays, n_dropped = migrate_ring_commit(
+                arrays=arrays,
+                inflight=inflight,
+                multiplicity_index=0,
+                axis_name=distributed["axis_name"],
+                capacity=distributed["capacity"],
+                rounds=distributed.get("rounds", 2),
+            )
+            multiplicity, extensive, maximum, cell_origin, position_in_cell = (
+                arrays
+            )
+            cell_id = disp_ops.recalculate_cell_id(cell_origin, strides)
+            counters["migration_dropped"] = (
+                counters["migration_dropped"] + n_dropped
+            )
+            particles = particles.replace(
+                multiplicity=multiplicity,
+                extensive=extensive,
+                maximum=maximum,
+                cell_origin=cell_origin,
+                position_in_cell=position_in_cell,
+                cell_id=cell_id,
+            )
+            return {**sim, "particles": particles, "counters": counters}
+
+        return commit

@@ -143,6 +143,7 @@ class DistributedSimulation2D:
         backend_class=CPU,
         capacity_factor=2.0,
         migration_capacity=None,
+        migration_overlap=True,
         axis_name="x",
     ):
         devices = jax.devices()
@@ -200,7 +201,10 @@ class DistributedSimulation2D:
         builder.add_dynamic(
             Displacement(
                 enable_sedimentation=True,
-                distributed_x=dict(axis_name=axis_name, capacity=migration_capacity),
+                distributed_x=dict(
+                    axis_name=axis_name, capacity=migration_capacity,
+                    overlap=migration_overlap,
+                ),
             )
         )
         builder.add_dynamic(

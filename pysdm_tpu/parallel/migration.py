@@ -91,47 +91,107 @@ def migrate_ring(
     Only what is still undelivered after the final pass is killed and
     counted (deficit-style accounting like the reference's breakup
     overflows, ``collisions_methods.py:64-93``)."""
+    arrays, inflight = migrate_ring_start(
+        arrays=arrays, multiplicity_index=multiplicity_index,
+        dest_shift=dest_shift, axis_name=axis_name, capacity=capacity,
+    )
+    return migrate_ring_commit(
+        arrays=arrays, inflight=inflight,
+        multiplicity_index=multiplicity_index, axis_name=axis_name,
+        capacity=capacity, rounds=rounds,
+    )
+
+
+def _ring_perms(axis_name):
     n_shards = lax.psum(1, axis_name)
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    return fwd, bwd
+
+
+def _send_round(arrays, multiplicity_index, pending, axis_name, capacity):
+    """pack + ppermute both directions; kill shipped departures at the
+    source. Returns (arrays, pending, shipments)."""
+    fwd, bwd = _ring_perms(axis_name)
+    mult = arrays[multiplicity_index]
+    # pack BOTH directions from the pre-placement state (a slot refilled
+    # by an incoming particle must not be re-shipped by the other
+    # direction), then kill all shipped departures at the source before
+    # any placement
+    shipments = []
+    departing = jnp.zeros_like(mult, dtype=bool)
+    for direction, perm in ((1, fwd), (-1, bwd)):
+        mask = (pending == direction) & (mult > 0)
+        # first `capacity` movers (slot order) ship this pass
+        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        shipped = mask & (rank < capacity)
+        bufs, valid, _ = _pack(arrays, shipped, capacity)
+        departing = departing | shipped
+        bufs = [lax.ppermute(b, axis_name, perm=perm) for b in bufs]
+        valid = lax.ppermute(valid, axis_name, perm=perm)
+        shipments.append((bufs, valid))
+
+    pending = jnp.where(departing, 0, pending)
+    arrays = [
+        jnp.where(departing, 0, a) if i == multiplicity_index else a
+        for i, a in enumerate(arrays)
+    ]
+    return arrays, pending, shipments
+
+
+def _place_round(arrays, multiplicity_index, pending, shipments):
     n_dropped_place = jnp.zeros((), jnp.int64)
-    # per-slot outstanding destination; cleared when the slot's particle
-    # ships AND when an arrival is placed into the slot (an arrived particle
-    # is home — a stale pending value must not re-ship it next round)
+    for bufs, valid in shipments:
+        free = arrays[multiplicity_index] <= 0
+        placed, n_lost = _place(
+            arrays + [pending], free,
+            bufs + [jnp.zeros(valid.shape[0], pending.dtype)], valid,
+        )
+        arrays, pending = placed[:-1], placed[-1]
+        n_dropped_place = n_dropped_place + n_lost.astype(jnp.int64)
+    return arrays, pending, n_dropped_place
+
+
+def migrate_ring_start(
+    *, arrays, multiplicity_index, dest_shift, axis_name, capacity
+):
+    """communication/compute-overlap entry (BASELINE: halo/migration
+    overlapped with the collision kernel): performs the FIRST send round —
+    pack departures, kill them at the source, issue the ppermutes — and
+    returns the in-flight shipments WITHOUT placing them. The caller runs
+    cell-local compute (collision) next; XLA's scheduler overlaps the
+    ppermute transfers with that compute because nothing in it depends on
+    the arrival buffers. ``migrate_ring_commit`` then places the arrivals
+    (and runs any extra rounds). Semantics vs the inline ``migrate_ring``:
+    migrating particles skip the collision step of their transit — they are
+    resident in neither slab while in flight (one-step staleness, the
+    Lagrangian analogue of the reference's async-thread MPDATA overlap,
+    reference ``examples/.../mpdata_2d.py:106-116``)."""
     pending = dest_shift.astype(jnp.int32)
+    arrays, pending, shipments = _send_round(
+        arrays, multiplicity_index, pending, axis_name, capacity
+    )
+    return arrays, {"pending": pending, "shipments": shipments}
 
-    for _ in range(rounds):
-        mult = arrays[multiplicity_index]
-        # pack BOTH directions from the pre-placement state (a slot refilled
-        # by an incoming particle must not be re-shipped by the other
-        # direction), then kill all shipped departures at the source before
-        # any placement
-        shipments = []
-        departing = jnp.zeros_like(mult, dtype=bool)
-        for direction, perm in ((1, fwd), (-1, bwd)):
-            mask = (pending == direction) & (mult > 0)
-            # first `capacity` movers (slot order) ship this pass
-            rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-            shipped = mask & (rank < capacity)
-            bufs, valid, _ = _pack(arrays, shipped, capacity)
-            departing = departing | shipped
-            bufs = [lax.ppermute(b, axis_name, perm=perm) for b in bufs]
-            valid = lax.ppermute(valid, axis_name, perm=perm)
-            shipments.append((bufs, valid))
 
-        pending = jnp.where(departing, 0, pending)
-        arrays = [
-            jnp.where(departing, 0, a) if i == multiplicity_index else a
-            for i, a in enumerate(arrays)
-        ]
-        for bufs, valid in shipments:
-            free = arrays[multiplicity_index] <= 0
-            placed, n_lost = _place(
-                arrays + [pending], free,
-                bufs + [jnp.zeros(valid.shape[0], pending.dtype)], valid,
-            )
-            arrays, pending = placed[:-1], placed[-1]
-            n_dropped_place = n_dropped_place + n_lost.astype(jnp.int64)
+def migrate_ring_commit(
+    *, arrays, inflight, multiplicity_index, axis_name, capacity, rounds=2
+):
+    """place the in-flight arrivals from ``migrate_ring_start`` and run the
+    remaining ``rounds - 1`` full exchange rounds; kill + count
+    undeliverable leftovers. Returns (arrays, [send_drop, place_drop])."""
+    pending = inflight["pending"]
+    arrays, pending, n_dropped_place = _place_round(
+        arrays, multiplicity_index, pending, inflight["shipments"]
+    )
+    for _ in range(rounds - 1):
+        arrays, pending, shipments = _send_round(
+            arrays, multiplicity_index, pending, axis_name, capacity
+        )
+        arrays, pending, lost = _place_round(
+            arrays, multiplicity_index, pending, shipments
+        )
+        n_dropped_place = n_dropped_place + lost
 
     # undeliverable leftovers (send-capacity overflow): kill + count
     mult = arrays[multiplicity_index]

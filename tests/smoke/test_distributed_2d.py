@@ -159,3 +159,33 @@ def test_migration_capacity_overflow_is_counted_not_silent():
     mult = np.asarray(p.attributes["multiplicity"])
     assert np.isfinite(np.asarray(p.attributes["water mass"])).all()
     assert (mult >= 0).all()
+
+
+def test_overlap_migration_equals_inline_when_deterministic():
+    """comm/compute-overlap mode (migrate_ring_start + commit after the
+    collision phase) must produce the same deterministic trajectory as the
+    inline exchange when collisions are disabled — the overlap changes only
+    WHEN in-flight particles become visible (they skip the collision step
+    of their transit; with collisions off, nothing observes the window)"""
+    from pysdm_tpu.parallel.verification import canonical_particles
+
+    def run(overlap):
+        settings = Settings(
+            Formulae(seed=5),
+            grid=(8, 8),
+            size=(1500 * si.m, 1500 * si.m),
+            dt=5 * si.s,
+            n_sd_per_gridbox=8,
+        )
+        sim = DistributedSimulation2D(
+            settings, n_shards=4, migration_capacity=64,
+            migration_overlap=overlap,
+        )
+        sim.particulator.set_flag("collision_enable", False)
+        sim.run(8)
+        return canonical_particles(sim, settings)
+
+    rows_a = run(True)
+    rows_b = run(False)
+    np.testing.assert_array_equal(rows_a[:, 0], rows_b[:, 0])
+    np.testing.assert_allclose(rows_a, rows_b, rtol=1e-9, atol=1e-18)
