@@ -100,7 +100,11 @@ class Collision:
         rate_dtype = self.particulator.mult_dtype
         builder.add_flag("collision_enable", self.enable)
         builder.add_counter("collision_rate", n_cell, rate_dtype)
-        builder.add_counter("collision_rate_deficit", n_cell, ftype)
+        # running totals accumulate in f64 (the per-step sums are f32 for
+        # speed — the sentinel below bounds THEIR error — but adding f32
+        # step sums into an f32 total drifts once totals pass 2^24;
+        # per-cell counter arrays are tiny, so f64 accumulation is free)
+        builder.add_counter("collision_rate_deficit", n_cell, jnp.float64)
         builder.add_counter("coalescence_rate", n_cell, rate_dtype)
         builder.add_counter("collision_n_substep", n_cell, jnp.int32)
         # precision sentinel: largest single-step per-cell rate sum observed
@@ -109,8 +113,8 @@ class Collision:
         # ops.collisions.accumulate_counter)
         builder.add_counter("rate_step_sum_max", 1, jnp.float32)
         if self.enable_breakup:
-            builder.add_counter("breakup_rate", n_cell, ftype)
-            builder.add_counter("breakup_rate_deficit", n_cell, ftype)
+            builder.add_counter("breakup_rate", n_cell, jnp.float64)
+            builder.add_counter("breakup_rate_deficit", n_cell, jnp.float64)
 
     def make_step(self, particulator):
         mesh = particulator.mesh

@@ -76,9 +76,16 @@ class Condensation:
         builder.add_counter("condensation_RH_max", n_cell, None, fill=0.0)
         # activation-event rate counters (reference counters n_activating /
         # n_deactivating / n_ripening, condensation_methods.py:19)
-        builder.add_counter("condensation_activating", n_cell, None, fill=0.0)
-        builder.add_counter("condensation_deactivating", n_cell, None, fill=0.0)
-        builder.add_counter("condensation_ripening", n_cell, None, fill=0.0)
+        # f64 running totals (see collision.py note on f32 counter drift)
+        builder.add_counter(
+            "condensation_activating", n_cell, jnp.float64, fill=0.0
+        )
+        builder.add_counter(
+            "condensation_deactivating", n_cell, jnp.float64, fill=0.0
+        )
+        builder.add_counter(
+            "condensation_ripening", n_cell, jnp.float64, fill=0.0
+        )
 
     def check_success(self):
         if not np.asarray(

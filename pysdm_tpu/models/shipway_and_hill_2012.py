@@ -74,6 +74,14 @@ class Settings:
             collection_efficiency=1
         )
         self.t_1 = 600 * si.s
+        # particle reservoir below z=0 (reference ``settings.py:73-77``):
+        # keeps the surface layer stocked with super-droplets while the
+        # updraft advects them out of the lower cells (the reference's
+        # few-steps smoke test xfails with depth 0)
+        apprx_w1 = rho_times_w_1 / const.rho_STP
+        self.particle_reservoir_depth = (
+            (2 * apprx_w1 * self.t_1 / np.pi) // dz + 1
+        ) * dz
 
         self.wet_radius_spectrum_per_mass_of_dry_air = spectra.Lognormal(
             norm_factor=particles_per_volume_STP / const.rho_STP,
@@ -86,7 +94,7 @@ class Settings:
             z, (0.0, 740.0, 3260.0), (297.9, 297.9, 312.66)
         )
         self.water_vapour_mixing_ratio = lambda z: np.interp(
-            z, (0.0, 740.0, 3260.0), (0.015, 0.015, 0.0024)
+            z, (0.0, 740.0, 3260.0), (0.015, 0.0138, 0.0024)
         )
         f = self.formulae
 
@@ -98,6 +106,7 @@ class Settings:
             )
 
         def rhod_of_z(z):
+            z = np.maximum(np.asarray(z, dtype=float), 0.0)  # flat below 0
             p = f.hydrostatics.p_of_z_assuming_const_th_and_initial_water_vapour_mixing_ratio(
                 self.p0, self._th_std(0.0),
                 self.water_vapour_mixing_ratio(0.0), z,
@@ -122,8 +131,12 @@ class Settings:
 
     @property
     def nz(self):
-        assert self.z_max % self.dz == 0
-        return int(self.z_max / self.dz)
+        # column cells including the below-surface particle reservoir
+        # (reference settings.py:176-182)
+        assert self.particle_reservoir_depth % self.dz == 0
+        nz = (self.z_max + self.particle_reservoir_depth) / self.dz
+        assert nz == int(nz)
+        return int(nz)
 
     @property
     def nt(self):
@@ -139,16 +152,21 @@ class Simulation:
     def __init__(self, settings: Settings, backend_class=CPU, products=None):
         self.settings = settings
         self.nt = settings.nt
-        mesh = Mesh(grid=(settings.nz,), size=(settings.z_max,))
+        self.z0 = -settings.particle_reservoir_depth
+        mesh = Mesh(
+            grid=(settings.nz,),
+            size=(settings.z_max + settings.particle_reservoir_depth,),
+        )
         env = Kinematic1D(
             dt=settings.dt,
             mesh=mesh,
             thd_of_z=settings.thd_of_z,
             rhod_of_z=settings.rhod_of_z,
             water_vapour_mixing_ratio_of_z=settings.water_vapour_mixing_ratio,
+            z0=self.z0,
         )
-        z_faces = settings.dz * np.arange(settings.nz + 1)
-        z_centres = settings.dz * (np.arange(settings.nz) + 0.5)
+        z_faces = self.z0 + settings.dz * np.arange(settings.nz + 1)
+        z_centres = self.z0 + settings.dz * (np.arange(settings.nz) + 0.5)
         mpdata = MPDATA_1D(
             nz=settings.nz,
             dt=settings.dt,
@@ -175,7 +193,9 @@ class Simulation:
         builder.add_dynamic(
             Displacement(
                 enable_sedimentation=settings.precip,
-                precipitation_counting_level_index=0,
+                precipitation_counting_level_index=int(
+                    settings.particle_reservoir_depth // settings.dz
+                ),
             )
         )
         attributes = env.init_attributes(

@@ -86,6 +86,7 @@ from .displacement import (
     FlowVelocityComponent,
 )
 from .condensation import (
+    PeakSaturation,
     PeakSupersaturation,
     CondensationTimestepMin,
     CondensationTimestepMax,

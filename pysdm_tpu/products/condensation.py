@@ -23,6 +23,22 @@ class PeakSupersaturation(Product):
         return out * 100 if self.unit == "%" else out
 
 
+class PeakSaturation(Product):
+    """max RH (saturation S, incl. condensation substeps) since last read
+    (reference ``products/condensation/peak_saturation.py`` — reset-on-read)"""
+
+    def __init__(self, name=None, unit="dimensionless"):
+        super().__init__(name=name or "peak saturation", unit=unit)
+
+    def _impl(self, **kwargs):
+        p = self.particulator
+        rh_max = p.get_counter("condensation_RH_max")
+        p.sim_state["counters"]["condensation_RH_max"] = (
+            p.sim_state["counters"]["condensation_RH_max"] * 0.0
+        )
+        return rh_max
+
+
 class CondensationTimestepMin(Product):
     """dt / max substep count per cell (reference ``condensation_timestep.py``)"""
 
