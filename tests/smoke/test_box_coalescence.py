@@ -108,13 +108,13 @@ class TestGolovinConvergence:
             # reference asserts
             assert errors[keys[0]] > errors[keys[1]] > errors[keys[2]]
         else:
-            # at dt=50 s the seed-ensembled errors of every rung >= 2^15
-            # sit on the same ~0.079 time-discretisation bias floor in this
-            # metric (the reference's SpectrumPlotter error weighs the
-            # spectrum differently); assert the accuracy floor and that no
-            # rung is WORSE than the smallest one beyond noise
-            assert max(errors.values()) < 0.1
-            assert errors[keys[0]] > 0.9 * errors[keys[2]]
+            # at dt=50 s the seed-ensembled error converges 2^11 -> 2^15
+            # (0.176 -> 0.079) and then sits on the time-discretisation
+            # bias floor (2^17 also ~0.079 in this metric; the reference's
+            # SpectrumPlotter error weighs the spectrum differently):
+            # assert the resolved decrease plus the plateau
+            assert errors[keys[0]] > errors[keys[1]]
+            assert errors[keys[2]] < 1.05 * errors[keys[1]]
         assert errors[keys[2]] < 0.1
 
     @staticmethod
