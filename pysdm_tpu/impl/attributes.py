@@ -57,6 +57,20 @@ def canonical_ext_name(name):
     return "signed water mass" if name == "water mass" else name
 
 
+def _env_at_drops(env_row, cell_id):
+    """broadcast a per-cell env row to drops. TPU: dynamic gathers lower to
+    an element-at-a-time path (~12 ms per 2.56M-drop row), so small tables
+    ride an exact one-hot matmul on the MXU instead."""
+    n_cell = env_row.shape[0]
+    if n_cell > 8192:
+        return env_row[cell_id]
+    one_hot = (
+        jnp.clip(cell_id, 0, n_cell - 1).astype(jnp.int32)[:, None]
+        == jnp.arange(n_cell, dtype=jnp.int32)[None, :]
+    ).astype(env_row.dtype)
+    return one_hot @ env_row
+
+
 class AttributeResolver:
     """computes any requested attribute from a ParticleState + Formulae"""
 
@@ -120,8 +134,10 @@ class AttributeResolver:
             return f.particle_shape_and_density.reynolds_number(
                 radius=self.get(state, "radius"),
                 velocity_wrt_air=self.get(state, "relative fall velocity"),
-                dynamic_viscosity=env["air_viscosity"][state.cell_id],
-                density=env["air_density"][state.cell_id],
+                dynamic_viscosity=_env_at_drops(
+                    env["air_viscosity"], state.cell_id
+                ),
+                density=_env_at_drops(env["air_density"], state.cell_id),
             )
         if name in (
             "critical volume",
@@ -132,7 +148,7 @@ class AttributeResolver:
             # ``physics_methods.py`` _critical_volume_body)
             if env is None:
                 raise KeyError("critical volume requires the env (cell T)")
-            T = env["T"][state.cell_id]
+            T = _env_at_drops(env["T"], state.cell_id)
             v_dry = state.ext("dry volume")
             sgm = f.surface_tension.sigma(
                 T,
@@ -156,7 +172,7 @@ class AttributeResolver:
             # ``attributes/physics/critical_supersaturation.py``)
             if env is None:
                 raise KeyError("critical saturation requires the env (cell T)")
-            T = env["T"][state.cell_id]
+            T = _env_at_drops(env["T"], state.cell_id)
             v_dry = state.ext("dry volume")
             rd3 = v_dry / f.constants.PI_4_3
             sgm = f.surface_tension.sigma(
@@ -171,7 +187,7 @@ class AttributeResolver:
             # (reference ``attributes/physics/equilibrium_saturation.py``)
             if env is None:
                 raise KeyError("equilibrium saturation requires the env")
-            T = env["T"][state.cell_id]
+            T = _env_at_drops(env["T"], state.cell_id)
             v_dry = state.ext("dry volume")
             v_wet = self.get(state, "volume")
             sgm = f.surface_tension.sigma(
@@ -210,7 +226,7 @@ class AttributeResolver:
             if env is None:
                 raise KeyError("cooling rate requires the env (cell T)")
             prev_T = state.max_attr("cooling rate prev T")
-            return (prev_T - env["T"][state.cell_id]) / self.dt
+            return (prev_T - _env_at_drops(env["T"], state.cell_id)) / self.dt
         if name == "moles light water":
             # moles of the light isotopologue (1H2 16O) backed out of the
             # total water mass by subtracting the heavy-isotopologue masses
