@@ -86,6 +86,7 @@ def make_condensation_solver(
         # make_fused_masses_new docstring for the semantics difference)
         fused_masses_new = make_fused_masses_new(
             f,
+            rtol_x=rtol_x,
             RH_rtol=RH_rtol,
             max_iters=max_iters,
             bisect_iters=bisect_iters,

@@ -40,6 +40,7 @@ def make_fused_masses_new(
     RH_rtol,
     max_iters,
     bisect_iters,
+    rtol_x=1e-6,
 ):
     """build the fused (thermo -> Koehler -> bracket -> bisect) kernel,
     closed over the formula variants; mirrors ``ops/condensation.py``
@@ -200,10 +201,40 @@ def make_fused_masses_new(
             flo = jnp.where(go_lo, flo, fmid)
             return lo_new, hi, flo
 
-        lo, hi, _ = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(min(bisect_iters, 40)),
-            bisect_body, (lo, hi, flo),
-        )
+        import os as _os
+
+        if _os.environ.get("PYSDM_TPU_COND_EARLY_EXIT"):
+            # OPT-IN re-evaluation of the early-exit form (round-3 device
+            # faults; the distilled repro now runs clean on jaxlib 0.9.0 —
+            # tools/repro_whileloop_kernel_fault.py). Honors rtol_x: stop
+            # once every active lane's bracket is within rtol_x * |x|.
+            # Mosaic rules observed: max-reduce condition (jnp.any lowers
+            # through an f64 squeeze under global x64), f32 carries only.
+            tol = jnp.float32(rtol_x) * jnp.abs(x_old) + jnp.float32(1e-30)
+            solve_mask = need_solve & bracketed & ~converged_at_a
+
+            def ee_cond(carry):
+                i, lo, hi, _ = carry
+                excess = jnp.where(
+                    solve_mask, (hi - lo) - tol, jnp.float32(-1.0)
+                )
+                return (i < jnp.int32(min(bisect_iters, 40))) & (
+                    jnp.max(excess) > 0
+                )
+
+            def ee_body(carry):
+                i, lo, hi, flo = carry
+                lo, hi, flo = bisect_body(0, (lo, hi, flo))
+                return i + jnp.int32(1), lo, hi, flo
+
+            _, lo, hi, _ = jax.lax.while_loop(
+                ee_cond, ee_body, (jnp.int32(0), lo, hi, flo)
+            )
+        else:
+            lo, hi, _ = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(min(bisect_iters, 40)),
+                bisect_body, (lo, hi, flo),
+            )
         x_new = jnp.where(
             need_solve & bracketed & ~converged_at_a, 0.5 * (lo + hi), x_old
         )

@@ -204,9 +204,12 @@ class TestShipwayHill2012:
             Simulation,
         )
 
+        # the updraft rho*w peaks at t_1/2 = 300 s; with the particle
+        # reservoir and the reference qv profile (0.0138 at 740 m) the
+        # column saturates shortly after the peak
         settings = Settings(
             n_sd_per_gridbox=8, dz=100.0, z_max=3000.0,
-            t_max=240.0, dt=2.0,
+            t_max=600.0, dt=2.0,
         )
         sim = Simulation(settings)
         out = sim.run(steps_per_output=60)
