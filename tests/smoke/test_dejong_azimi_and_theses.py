@@ -30,7 +30,11 @@ def test_dejong_azimi_settings_1d():
     assert settings.collision_kernel.b == 5e3
     assert settings.enable_condensation is False
     assert settings.z_part == (0.5, 0.75)
-    assert settings.nz == 20
+    # nz includes the below-surface particle reservoir (the reference
+    # deJong_Azimi settings1D inherits it from the Shipway-Hill settings)
+    assert settings.nz == 20 + int(
+        settings.particle_reservoir_depth // settings.dz
+    )
 
 
 def test_bartman_2020_adaptive_recovers_small_dt():
