@@ -21,6 +21,32 @@ from ..ops import displacement as disp_ops
 DEFAULTS = namedtuple("_", ("rtol", "adaptive"))(rtol=1e-2, adaptive=True)
 
 
+def _migrate_z_phase(arrays, distributed, nz_local):
+    """second exchange axis of the 2D (x, z) tile decomposition: classify
+    the (still-unwrapped) z origin, wrap it tile-local, and ring-migrate
+    along the z mesh axis (diagonal movers hop x first, then z)"""
+    from ..parallel.migration import classify_dest_shift, migrate_ring
+
+    multiplicity = arrays[0]
+    cell_origin = arrays[3]
+    dest_z, far_z = classify_dest_shift(
+        cell_origin[-1], nz_local, multiplicity
+    )
+    multiplicity = jnp.where(far_z, 0, multiplicity)
+    cell_origin = cell_origin.at[-1].set(cell_origin[-1] % nz_local)
+    arrays = list(arrays)
+    arrays[0] = multiplicity
+    arrays[3] = cell_origin
+    return migrate_ring(
+        arrays=arrays,
+        multiplicity_index=0,
+        dest_shift=dest_z.astype(jnp.int32),
+        axis_name=distributed["axis_name_z"],
+        capacity=distributed["capacity"],
+        rounds=distributed.get("rounds", 2),
+    )
+
+
 class Displacement:
     # moving particles between cells invalidates the cell-sorted state
     # invariant the shared-sort analysis tracks (builder.py)
@@ -81,14 +107,22 @@ class Displacement:
             )
         else:
             assert n_dims == 2, "distributed displacement: 2D (x, z) only"
-            # courant fields get a 1-column x halo on each side
-            ext_grid = (grid[0] + 2, grid[1])
+            # courant fields get a 1-column halo on each decomposed side
+            z_axis = distributed.get("axis_name_z")
+            ext_grid = (
+                grid[0] + 2,
+                grid[1] + (2 if z_axis else 0),
+            )
             courant_strides = tuple(
                 disp_ops.face_strides(ext_grid, d) for d in range(n_dims)
             )
-        domain_top = grid[-1]
+        # domain top in GLOBAL column coordinates (grid is the local tile)
+        z_shards = (distributed or {}).get("z_shards", 1)
+        domain_top = grid[-1] * z_shards
 
-        def n_substeps_from_courant(courant, ftype, axis_name=None):
+        def n_substeps_from_courant(
+            courant, ftype, axis_name=None, axis_name_z=None
+        ):
             """smallest power of two n with (d/n)/(1-d/n) < rtol where
             d = max |delta courant| (reference ``upload_courant_field``)"""
             d_max = jnp.zeros((), ftype)
@@ -99,6 +133,8 @@ class Displacement:
                 # max would give slabs different time resolutions and break
                 # shard-count invariance (caught by the dryrun allclose)
                 d_max = jax.lax.pmax(d_max, axis_name)
+            if axis_name_z is not None:
+                d_max = jax.lax.pmax(d_max, axis_name_z)
 
             def cond(n):
                 x = d_max / n
@@ -126,12 +162,20 @@ class Displacement:
                 courant = tuple(
                     ring_halo_pad(c, 0, distributed["axis_name"]) for c in courant
                 )
+                if distributed.get("axis_name_z"):
+                    courant = tuple(
+                        ring_halo_pad(c, 1, distributed["axis_name_z"])
+                        for c in courant
+                    )
             ftype = courant[0].dtype
             if adaptive:
                 n_sub = n_substeps_from_courant(
                     courant, ftype,
                     axis_name=(
                         distributed["axis_name"] if distributed else None
+                    ),
+                    axis_name_z=(
+                        distributed.get("axis_name_z") if distributed else None
                     ),
                 )
             else:
@@ -150,9 +194,21 @@ class Displacement:
                 v_fall = None
 
             if distributed is not None:
-                gather_offset = jnp.asarray([1, 0], dtype=jnp.int32)[:, None]
+                z_halo = 1 if distributed.get("axis_name_z") else 0
+                gather_offset = jnp.asarray(
+                    [1, z_halo], dtype=jnp.int32
+                )[:, None]
+                # local z origins -> global column coordinates for the
+                # precipitation/out-of-column flags on a z-decomposed mesh
+                if z_halo:
+                    z_off = jax.lax.axis_index(
+                        distributed["axis_name_z"]
+                    ).astype(jnp.int32) * grid[-1]
+                else:
+                    z_off = jnp.int32(0)
             else:
                 gather_offset = jnp.zeros((n_dims, 1), dtype=jnp.int32)
+                z_off = jnp.int32(0)
 
             def substep(_, carry):
                 cell_origin, position_in_cell, multiplicity, rainfall = carry
@@ -176,6 +232,7 @@ class Displacement:
                         multiplicity=multiplicity,
                         water_mass=particles.ext("signed water mass"),
                         precipitation_counting_level_index=precip_level,
+                        z_offset=z_off,
                     )
                     # with sedimentation gated off, bottom-crossing particles
                     # still die (as via flag_out_of_column) but are not
@@ -188,17 +245,21 @@ class Displacement:
                     position_in_cell=position_in_cell,
                     multiplicity=multiplicity,
                     domain_top_level_index=domain_top,
+                    z_offset=z_off,
                 )
                 cell_origin, position_in_cell = disp_ops.update_cell_origin(
                     cell_origin, position_in_cell
                 )
                 if distributed is None:
                     cell_origin = disp_ops.periodic_boundary(cell_origin, grid)
-                else:
+                elif not distributed.get("axis_name_z"):
                     # x stays unwrapped (migration resolves slab crossings
                     # after the substep loop); wrap z as the reference does
                     z_wrapped = cell_origin[-1] % grid[-1]
                     cell_origin = cell_origin.at[-1].set(z_wrapped)
+                # with z decomposed, z ALSO stays unwrapped: migration
+                # classifies the tile crossing after the substep loop
+                # (out-of-column crossers were killed above using global z)
                 return cell_origin, position_in_cell, multiplicity, rainfall
 
             cell_origin, position_in_cell, multiplicity, rainfall = (
@@ -223,16 +284,26 @@ class Displacement:
                 )
 
                 nx_local = grid[0]
+                nz_local = grid[-1]
+                z_axis = distributed.get("axis_name_z")
                 x = cell_origin[0]
                 dest_shift, far = classify_dest_shift(
                     x, nx_local, multiplicity
                 )
-                # >1-slab movers cannot ride the ring exchange: kill + count
+                if z_axis:
+                    _, far_z = classify_dest_shift(
+                        cell_origin[-1], nz_local, multiplicity
+                    )
+                    far = far | far_z
+                # >1-tile movers cannot ride the ring exchange: kill + count
                 multiplicity = jnp.where(far, 0, multiplicity)
                 counters["migration_far_moves"] = counters[
                     "migration_far_moves"
                 ] + jnp.sum(far).astype(jnp.int64).reshape(1)
                 cell_origin = cell_origin.at[0].set(x % nx_local)
+                # on a z-decomposed mesh the z origin stays UNWRAPPED through
+                # the x exchange (it encodes the z destination); the z phase
+                # below classifies + wraps it after x-arrivals are placed
                 arrays = [
                     multiplicity,
                     particles.extensive,
@@ -267,6 +338,13 @@ class Displacement:
                     counters["migration_dropped"] = (
                         counters["migration_dropped"] + n_dropped
                     )
+                    if z_axis:
+                        arrays, n_dropped_z = _migrate_z_phase(
+                            arrays, distributed, nz_local
+                        )
+                        counters["migration_dropped"] = (
+                            counters["migration_dropped"] + n_dropped_z
+                        )
                 multiplicity, extensive, maximum, cell_origin, position_in_cell = (
                     arrays
                 )
@@ -324,6 +402,11 @@ class Displacement:
                 capacity=distributed["capacity"],
                 rounds=distributed.get("rounds", 2),
             )
+            if distributed.get("axis_name_z"):
+                arrays, n_dropped_z = _migrate_z_phase(
+                    arrays, distributed, particulator.mesh.grid[-1]
+                )
+                n_dropped = n_dropped + n_dropped_z
             multiplicity, extensive, maximum, cell_origin, position_in_cell = (
                 arrays
             )

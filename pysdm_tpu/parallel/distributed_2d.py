@@ -45,64 +45,89 @@ class DistributedMPDATA_2D(MPDATA_2D):
     advector is sliced by the shard index and the x boundary condition is the
     ring halo exchange"""
 
-    def __init__(self, *, axis_name, n_shards, **kwargs):
+    def __init__(self, *, axis_name, n_shards, axis_name_z="z",
+                 n_shards_z=1, **kwargs):
         super().__init__(**kwargs)
         self.axis_name = axis_name
+        self.axis_name_z = axis_name_z
         self.n_shards = n_shards
-        self.opts["bcs"] = (("shard", axis_name), "periodic")
+        self.n_shards_z = n_shards_z
+        self.opts["bcs"] = (
+            ("shard", axis_name),
+            ("shard", axis_name_z) if n_shards_z > 1 else "periodic",
+        )
 
-    def local_gc(self, shard_idx, ftype):
-        """slab slice of the global advector: x-faces (nxl+1, nz) overlap
-        between neighbours; z-faces (nxl, nz+1)"""
+    def local_gc(self, x_idx, z_idx, ftype):
+        """tile slice of the global advector: x-faces (nxl+1, nzl) overlap
+        between x-neighbours; z-faces (nxl, nzl+1) between z-neighbours"""
         nx, nz = self.grid
         nxl = nx // self.n_shards
+        nzl = nz // self.n_shards_z
         gc_x = jnp.asarray(self.gc[0], dtype=ftype)
         gc_z = jnp.asarray(self.gc[1], dtype=ftype)
-        x0 = shard_idx.astype(jnp.int32) * nxl
-        zero = jnp.zeros((), jnp.int32)
+        x0 = x_idx.astype(jnp.int32) * nxl
+        z0 = z_idx.astype(jnp.int32) * nzl
         return (
-            jax.lax.dynamic_slice(gc_x, (x0, zero), (nxl + 1, nz)),
-            jax.lax.dynamic_slice(gc_z, (x0, zero), (nxl, nz + 1)),
+            jax.lax.dynamic_slice(gc_x, (x0, z0), (nxl + 1, nzl)),
+            jax.lax.dynamic_slice(gc_z, (x0, z0), (nxl, nzl + 1)),
         )
 
     def make_step(self, particulator):
         nx, nz = self.grid
         nxl = nx // self.n_shards
+        nzl = nz // self.n_shards_z
         opts = self.opts
         axis_name = self.axis_name
+        axis_name_z = self.axis_name_z
 
         def step(sim):
             env = dict(sim["env"])
             ftype = env["pred_qv"].dtype
             idx = jax.lax.axis_index(axis_name)
-            gc = self.local_gc(idx, ftype)
-            g = jnp.asarray(self.g_factor[:nxl], dtype=ftype)  # x-uniform
+            z_idx = (
+                jax.lax.axis_index(axis_name_z)
+                if self.n_shards_z > 1
+                else jnp.int32(0)
+            )
+            gc = self.local_gc(idx, z_idx, ftype)
+            g_full = jnp.asarray(self.g_factor, dtype=ftype)  # x-uniform
+            z0 = z_idx.astype(jnp.int32) * nzl
+            g = jax.lax.dynamic_slice(
+                g_full[:nxl], (jnp.int32(0), z0), (nxl, nzl)
+            )
             for name in ("thd", "qv"):
                 env[f"mpdata_{name}"] = mpdata_step(
-                    env[f"pred_{name}"].reshape((nxl, nz)), gc, g, **opts
+                    env[f"pred_{name}"].reshape((nxl, nzl)), gc, g, **opts
                 ).ravel()
             courant_x = jnp.asarray(self.courant[0], dtype=ftype)
             courant_z = jnp.asarray(self.courant[1], dtype=ftype)
             x0 = idx.astype(jnp.int32) * nxl
-            zero = jnp.zeros((), jnp.int32)
             env["courant_0"] = jax.lax.dynamic_slice(
-                courant_x, (x0, zero), (nxl + 1, nz)
+                courant_x, (x0, z0), (nxl + 1, nzl)
             ).ravel()
             env["courant_1"] = jax.lax.dynamic_slice(
-                courant_z, (x0, zero), (nxl, nz + 1)
+                courant_z, (x0, z0), (nxl, nzl + 1)
             ).ravel()
             return {**sim, "env": env}
 
         return step
 
 
-def _assign_particles_to_shards(attributes, n_shards, nx_local, capacity):
-    """split globally-sampled particles into per-shard fixed-capacity blocks,
-    converting cell x-origins to slab-local coordinates; dead padding slots
-    get multiplicity 0 (and epsilon dry volumes to keep derived attributes
-    finite)"""
+def _assign_particles_to_shards(
+    attributes, n_shards, nx_local, capacity, nz_local=None, sz=1
+):
+    """split globally-sampled particles into per-tile fixed-capacity blocks,
+    converting cell origins to tile-local coordinates (shard index =
+    x_tile * sz + z_tile, matching the ("x","z") device-mesh order); dead
+    padding slots get multiplicity 0 (and epsilon dry volumes to keep
+    derived attributes finite)"""
     cell_origin = np.asarray(attributes["cell origin"])
-    shard_of = cell_origin[0] // nx_local
+    if sz > 1:
+        shard_of = (cell_origin[0] // nx_local) * sz + (
+            cell_origin[1] // nz_local
+        )
+    else:
+        shard_of = cell_origin[0] // nx_local
     out = {k: [] for k in attributes}
     for s in range(n_shards):
         sel = np.nonzero(shard_of == s)[0]
@@ -126,7 +151,11 @@ def _assign_particles_to_shards(attributes, n_shards, nx_local, capacity):
                 filler = np.zeros(taken.shape[:-1] + (pad,), dtype=v.dtype)
             if key == "cell origin":
                 taken = taken.copy()
-                taken[0] -= s * nx_local
+                if sz > 1:
+                    taken[0] -= (s // sz) * nx_local
+                    taken[1] -= (s % sz) * nz_local
+                else:
+                    taken[0] -= s * nx_local
             out[key].append(np.concatenate([taken, filler], axis=-1))
     return {k: np.concatenate(v, axis=-1) for k, v in out.items()}
 
@@ -140,21 +169,35 @@ class DistributedSimulation2D:
         settings,
         *,
         n_shards=None,
+        mesh_shape=None,
         backend_class=CPU,
         capacity_factor=2.0,
         migration_capacity=None,
         migration_overlap=True,
         axis_name="x",
+        axis_name_z="z",
     ):
         devices = jax.devices()
-        n_shards = n_shards or len(devices)
+        if mesh_shape is not None:
+            sx, sz = mesh_shape
+            n_shards = sx * sz
+        else:
+            n_shards = n_shards or len(devices)
+            sx, sz = n_shards, 1
         nx, nz = settings.grid
-        assert nx % n_shards == 0, "nx must divide the shard count"
-        nxl = nx // n_shards
+        assert nx % sx == 0, "nx must divide the x shard count"
+        assert nz % sz == 0, "nz must divide the z shard count"
+        nxl = nx // sx
+        nzl = nz // sz
         self.n_shards = n_shards
+        self.mesh_shape = (sx, sz)
         self.axis_name = axis_name
+        self.axis_name_z = axis_name_z
         self.settings = settings
-        self.jmesh = JaxMesh(np.array(devices[:n_shards]), axis_names=(axis_name,))
+        self.jmesh = JaxMesh(
+            np.array(devices[:n_shards]).reshape(sx, sz),
+            axis_names=(axis_name, axis_name_z),
+        )
 
         n_sd_global = settings.n_sd
         capacity = int(capacity_factor * n_sd_global / n_shards)
@@ -164,8 +207,8 @@ class DistributedSimulation2D:
         backend = backend_class(formulae=settings.formulae)
         environment = Kinematic2D(
             dt=settings.dt,
-            grid=(nxl, nz),
-            size=(settings.size[0] / n_shards, settings.size[1]),
+            grid=(nxl, nzl),
+            size=(settings.size[0] / sx, settings.size[1] / sz),
             rhod_of=settings.rhod_of_zZ,
         )
         builder = Builder(n_sd=capacity, backend=backend, environment=environment)
@@ -176,17 +219,21 @@ class DistributedSimulation2D:
         # sliced per shard inside the step
         advectees = {
             "th": np.repeat(
-                settings.initial_dry_potential_temperature_profile.reshape(1, -1),
+                settings.initial_dry_potential_temperature_profile[:nzl]
+                .reshape(1, -1),
                 nxl, axis=0,
             ),
             "water_vapour_mixing_ratio": np.repeat(
-                settings.initial_vapour_mixing_ratio_profile.reshape(1, -1),
+                settings.initial_vapour_mixing_ratio_profile[:nzl]
+                .reshape(1, -1),
                 nxl, axis=0,
             ),
         }
         solver = DistributedMPDATA_2D(
             axis_name=axis_name,
-            n_shards=n_shards,
+            axis_name_z=axis_name_z,
+            n_shards=sx,
+            n_shards_z=sz,
             advectees=advectees,
             stream_function=settings.stream_function,
             rhod_of_zZ=settings.rhod_of_zZ,
@@ -204,6 +251,8 @@ class DistributedSimulation2D:
                 distributed_x=dict(
                     axis_name=axis_name, capacity=migration_capacity,
                     overlap=migration_overlap,
+                    axis_name_z=axis_name_z if sz > 1 else None,
+                    z_shards=sz,
                 ),
             )
         )
@@ -244,7 +293,7 @@ class DistributedSimulation2D:
             seed=settings.formulae.seed,
         )
         sharded_attrs = _assign_particles_to_shards(
-            global_mesh_attrs, n_shards, nxl, capacity
+            global_mesh_attrs, n_shards, nxl, capacity, nz_local=nzl, sz=sz
         )
         # build with shard-0's block to fix shapes, then overwrite state
         template_attrs = {
@@ -292,7 +341,7 @@ class DistributedSimulation2D:
         # state; this stacked global state replaces it, and a following
         # Condensation may skip its sort on the strength of that invariant
         # (shared-sort analysis, builder.py)
-        n_cell_local = nxl * nz
+        n_cell_local = nxl * nzl
         order = np.empty(n_shards * capacity, dtype=np.int64)
         mult_np = np.asarray(full.multiplicity)
         alive_np = mult_np > 0
@@ -325,8 +374,42 @@ class DistributedSimulation2D:
         )
 
         env0 = p.sim_state["env"]
-        env = {k: jnp.tile(v, (n_shards,) + (1,) * (v.ndim - 1)) if v.ndim else
-               jnp.tile(v.reshape(1), n_shards) for k, v in env0.items()}
+        if sz > 1:
+            # z tiles have DIFFERENT initial profiles: build the global env
+            # once and slice per tile (the template env0 only covers tile
+            # (0,0)); face-shaped entries (courant) fall back to the tiled
+            # template values — the advection step overwrites them before
+            # displacement reads them
+            genv = global_env.init_env_state(p.dtype)
+            n_cell_global = nx * nz
+
+            def _tile_blocks(vg):
+                a = np.asarray(vg).reshape(nx, nz)
+                blocks = [
+                    a[i * nxl:(i + 1) * nxl, j * nzl:(j + 1) * nzl].ravel()
+                    for i in range(sx) for j in range(sz)
+                ]
+                return jnp.asarray(np.concatenate(blocks), dtype=p.dtype)
+
+            env = {}
+            for k, v in env0.items():
+                vg = genv.get(k)
+                if (
+                    vg is not None
+                    and getattr(vg, "ndim", 0) == 1
+                    and vg.shape[0] == n_cell_global
+                ):
+                    env[k] = _tile_blocks(vg)
+                elif v.ndim:
+                    env[k] = jnp.tile(v, (n_shards,) + (1,) * (v.ndim - 1))
+                else:
+                    env[k] = jnp.tile(v.reshape(1), n_shards)
+        else:
+            env = {
+                k: jnp.tile(v, (n_shards,) + (1,) * (v.ndim - 1)) if v.ndim
+                else jnp.tile(v.reshape(1), n_shards)
+                for k, v in env0.items()
+            }
         counters = {
             k: jnp.tile(v, n_shards) for k, v in p.sim_state["counters"].items()
         }
@@ -366,24 +449,24 @@ class DistributedSimulation2D:
         p._multi_step_fn = jax.jit(
             lambda sim, n: jax.lax.fori_loop(0, n, lambda _, s: sharded(s), sim)
         )
-        self.n_cell_local = nxl * nz
+        self.n_cell_local = nxl * nzl
 
     def _sim_spec(self, sim):
-        ax = self.axis_name
+        axes = (self.axis_name, self.axis_name_z)
         particles = sim["particles"].replace(
-            multiplicity=P(ax),
-            extensive=P(None, ax),
-            maximum=P(None, ax),
-            cell_id=P(ax),
-            cell_origin=P(None, ax),
-            position_in_cell=P(None, ax),
+            multiplicity=P(axes),
+            extensive=P(None, axes),
+            maximum=P(None, axes),
+            cell_id=P(axes),
+            cell_origin=P(None, axes),
+            position_in_cell=P(None, axes),
         )
         return {
             "particles": particles,
-            "env": {k: P(ax) for k in sim["env"]},
-            "counters": {k: P(ax) for k in sim["counters"]},
+            "env": {k: P(axes) for k in sim["env"]},
+            "counters": {k: P(axes) for k in sim["counters"]},
             "flags": {k: P() for k in sim["flags"]},
-            "key": P(ax),
+            "key": P(axes),
         }
 
     # ---- host-side access ------------------------------------------------
@@ -391,10 +474,20 @@ class DistributedSimulation2D:
         self.particulator.run(steps)
 
     def get_env(self, key):
-        """global field in (nx, nz) layout (shards are x-contiguous).
-        Single-process only — on a multi-host mesh the global array is not
-        fully addressable; use :meth:`global_diagnostics` instead."""
-        return np.asarray(self.particulator.sim_state["env"][key])
+        """global field reassembled to (nx, nz) layout from the per-tile
+        blocks. Single-process only — on a multi-host mesh the global array
+        is not fully addressable; use :meth:`global_diagnostics` instead."""
+        v = np.asarray(self.particulator.sim_state["env"][key])
+        sx, sz = self.mesh_shape
+        if v.ndim == 1 and v.size == self.n_shards * self.n_cell_local:
+            nx, nz = self.settings.grid
+            nxl, nzl = nx // sx, nz // sz
+            return (
+                v.reshape(sx, sz, nxl, nzl)
+                .transpose(0, 2, 1, 3)
+                .reshape(nx, nz)
+            )
+        return v
 
     def global_diagnostics(self):
         """global scalar diagnostics, computed on-device with a replicated
@@ -448,7 +541,14 @@ class DistributedSimulation2D:
         local = np.asarray(self.particulator.particles.cell_id)
         n = local.shape[0] // self.n_shards
         shard = np.arange(local.shape[0]) // n
-        return local + shard * self.n_cell_local
+        sx, sz = self.mesh_shape
+        nx, nz = self.settings.grid
+        nxl, nzl = nx // sx, nz // sz
+        x_loc = local // nzl
+        z_loc = local % nzl
+        gx = (shard // sz) * nxl + x_loc
+        gz = (shard % sz) * nzl + z_loc
+        return gx * nz + gz
 
 
 class _Precomputed:

@@ -36,15 +36,17 @@ def canonical_particles(sim, settings):
     multiplicity], ordered by dry volume (the decomposition-independent
     identity key)"""
     p = sim.particulator
-    nx, _ = settings.grid
-    nxl = nx // sim.n_shards
+    nx, nz = settings.grid
+    sx, sz = getattr(sim, "mesh_shape", (sim.n_shards, 1))
+    nxl = nx // sx
+    nzl = nz // sz
     mult = np.asarray(p.particles.multiplicity, dtype=np.float64)
     n_local = mult.shape[0] // sim.n_shards
     shard = np.arange(mult.shape[0]) // n_local
     origin = np.asarray(p.particles.cell_origin, dtype=np.float64)
     pic = np.asarray(p.particles.position_in_cell, dtype=np.float64)
-    gx = origin[0] + shard * nxl + pic[0]
-    gz = origin[1] + pic[1]
+    gx = origin[0] + (shard // sz) * nxl + pic[0]
+    gz = origin[1] + (shard % sz) * nzl + pic[1]
     dv_dry = np.asarray(p.particles.ext("dry volume"), dtype=np.float64)
     wm = np.asarray(p.particles.ext("signed water mass"), dtype=np.float64)
     alive = mult > 0
