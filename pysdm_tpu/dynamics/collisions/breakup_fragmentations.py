@@ -28,6 +28,7 @@ def apply_limiters(frag_volume, total_volume, *, vmin=0.0, nfmax=None):
 
 
 class AlwaysN:
+    pallas_safe = True
     required_attributes = ("water mass",)
 
     def __init__(self, n=1):
@@ -43,6 +44,7 @@ class AlwaysN:
 
 
 class ConstantMass:
+    pallas_safe = True
     """every fragment has the prescribed mass"""
 
     required_attributes = ("water mass",)
@@ -60,6 +62,7 @@ class ConstantMass:
 
 
 class Exponential:
+    pallas_safe = True
     """exponentially-distributed fragment size (reference expon_frag semantics)"""
 
     required_attributes = ("water mass",)

@@ -336,6 +336,78 @@ class Collision:
                 )
                 return particles, counters, key, dt_left
 
+            # fused mirror-breakup fast path (ops/pallas/breakup.py): the
+            # whole bounce/coalesce/breakup substep in one kernel — the
+            # XLA chain is launch-overhead-bound at bench scale (breakup
+            # roofline, PERF_NOTES.md). Needs elementwise-safe kernel/
+            # efficiency/fragmentation closures and the blocks geometry.
+            if enable_breakup and use_mirror:
+                from ...ops.pallas.collision import (
+                    LANES as _LANES,
+                    BLOCK_R as _BLOCK_R,
+                )
+
+                eligible = (
+                    not handle_all
+                    and jnp.issubdtype(mult_s.dtype, jnp.integer)
+                    and particles.maximum.shape[0] == 0
+                    and n_sd % (_BLOCK_R * _LANES) == 0
+                    and _pallas_enabled()
+                    and all(
+                        getattr(fn_, "pallas_safe", False)
+                        for fn_ in (kernel, ec_fn, eb_fn, frag)
+                    )
+                )
+                if eligible:
+                    from ...ops.pallas.breakup import (
+                        fused_breakup_mirror_blocks,
+                    )
+                    from ...ops.pallas.scan import _interpret_mode
+
+                    if adaptive:
+                        cell_scale = norm * (dt_todo / dt)
+                    else:
+                        cell_scale = norm * prob_scale
+                    names_sorted = sorted(attr_names)
+                    attr_rows = jnp.stack(
+                        [attrs_a[nm] for nm in names_sorted]
+                    )
+                    seed = jax.random.bits(k_gam, (), jnp.uint32)
+                    wm_idx = particles.ext_names.index("signed water mass")
+                    (
+                        mult_s, ext_s, rate_c, deficit_c, coal_c, brk_c,
+                        brkdef_c,
+                    ) = fused_breakup_mirror_blocks(
+                        mult_s, ext_s, wm_idx, attr_rows, names_sorted,
+                        lambda a, b: kernel.pairwise(formulae, a, b),
+                        lambda a, b: ec_fn.pairwise(formulae, a, b),
+                        lambda a, b: eb_fn.pairwise(formulae, a, b),
+                        lambda a, b, u: frag.pairwise(formulae, a, b, u)[1],
+                        cell_scale[0], pairing.K, seed, max_multiplicity,
+                        interpret=_interpret_mode(),
+                    )
+                    for cname, val in (
+                        ("collision_rate", rate_c),
+                        ("collision_rate_deficit", deficit_c),
+                        ("coalescence_rate", coal_c),
+                        ("breakup_rate", brk_c),
+                        ("breakup_rate_deficit", brkdef_c),
+                    ):
+                        c = counters[cname]
+                        if "rate_step_sum_max" in counters:
+                            counters["rate_step_sum_max"] = jnp.maximum(
+                                counters["rate_step_sum_max"], val
+                            )
+                        if jnp.issubdtype(c.dtype, jnp.integer):
+                            add = jnp.round(val).astype(c.dtype)
+                        else:
+                            add = val.astype(c.dtype)
+                        counters[cname] = c + add
+                    particles = particles.replace(
+                        multiplicity=mult_s, extensive=ext_s
+                    )
+                    return particles, counters, key, dt_left
+
             gamma, counters = coll_ops.compute_gamma(
                 prob, rand, mult_s, sorted_cell, is_first, n_cell, counters,
                 cell_start=cell_start, pairing=pairing,

@@ -79,6 +79,7 @@ class Geometric:
     K = E_c * pi * (r + r')^2 * |v_t - v_t'|"""
 
     required_attributes = ("radius", "relative fall velocity")
+    pallas_safe = True
 
     def __init__(self, collection_efficiency=1.0, x="volume"):
         self.collection_efficiency = collection_efficiency
@@ -102,6 +103,7 @@ class SimpleGeometric:
     K = C * (r + r')^2 * |A - A'|"""
 
     required_attributes = ("radius", "area")
+    pallas_safe = True
 
     def __init__(self, C):
         self.C = C
