@@ -57,7 +57,13 @@ class Builder:
         ``particulator.inject_u01`` — instead of the jitted threefry chain.
         This is the hook for seeded cross-checks against the reference
         (inject the identical u01 numbers exactly where PySDM's
-        RandomGeneratorOptimizer consumes them)."""
+        RandomGeneratorOptimizer consumes them). Coverage note: the
+        stochastic dynamics are collisions (shuffle/gamma/process/
+        fragmentation), freezing and seeding; the reference's condensation
+        and displacement consume NO random draws (they are deterministic
+        given the state), so a full-physics seeded comparison needs
+        injection only at the purposes registered here — see
+        tools/make_parity_traces.py for the stream-pinning construction."""
         self.u01_injection = True
         self.particulator.u01_injection = True
 

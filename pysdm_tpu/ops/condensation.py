@@ -28,6 +28,15 @@ import jax.numpy as jnp
 from .segments import sorted_segment_sum
 
 
+def _percell_sum(values, cell_start, n_cell):
+    """per-cell sum over cell-sorted slots; the single-cell (0D parcel/box)
+    case short-circuits the cumsum-difference machinery to one plain sum
+    (cheaper and exact-associative)"""
+    if n_cell == 1:
+        return jnp.sum(values)[None]
+    return sorted_segment_sum(values, cell_start, n_cell)
+
+
 def _cell_rows_to_drops(values_cell, cell_of_drop, n_cell):
     """broadcast per-cell rows (n_cell, k) to drops (n_drops, k) as a
     one-hot matmul: exact (each row selects exactly one cell) and MXU-fast,
@@ -311,7 +320,7 @@ def make_condensation_solver(
                 T=T_d, p=p_d, RH=RH_d, lv=lv_d, pvs=pvs_d, DTp=DTp_d,
                 KTp=KTp_d, Sc=Sc_d,
             )
-        ml_new = sorted_segment_sum(
+        ml_new = _percell_sum(
             jnp.where(mass_new > 0, mult_f * mass_new, 0.0), cell_start, n_cell
         )
         dml_dt = (ml_new - ml_old) / jnp.where(dt_sub > 0, dt_sub, 1.0)
@@ -324,7 +333,7 @@ def make_condensation_solver(
         qv = jnp.where(act, qv + dt_sub * (dqv_dt_pred / 2 + dqv_dt_corr), qv)
         rhod = jnp.where(act, rhod + dt_sub * drhod_dt / 2, rhod)
 
-        fails = sorted_segment_sum(
+        fails = _percell_sum(
             (~success_drop).astype(jnp.float32), cell_start, n_cell
         )
         # failure detection at the cell-coupling level (the reference raises
@@ -365,15 +374,15 @@ def make_condensation_solver(
             mass_cr = f.particle_shape_and_density.volume_to_mass(attrs["v_cr"])
             committed = (act_d > 0) & ok_d
             weight = jnp.where(committed, mult_f, 0.0)
-            n_act = sorted_segment_sum(
+            n_act = _percell_sum(
                 jnp.where((mass_new > mass_cr) & (mass_cr > mass_old), weight, 0.0),
                 cell_start, n_cell,
             )
-            n_deact = sorted_segment_sum(
+            n_deact = _percell_sum(
                 jnp.where((mass_new < mass_cr) & (mass_cr < mass_old), weight, 0.0),
                 cell_start, n_cell,
             )
-            n_act_growing = sorted_segment_sum(
+            n_act_growing = _percell_sum(
                 jnp.where((mass_new > mass_cr) & (mass_new > mass_old), weight, 0.0),
                 cell_start, n_cell,
             )
@@ -389,7 +398,7 @@ def make_condensation_solver(
     ):
         """advance every cell through its own n_substeps (lockstep, masked)"""
         dt_sub_cell = dt / n_substeps.astype(thd.dtype)
-        ml0 = sorted_segment_sum(
+        ml0 = _percell_sum(
             jnp.where(attrs["water_mass"] > 0, mult_f * attrs["water_mass"], 0.0),
             cell_start,
             n_cell,
@@ -443,7 +452,7 @@ def make_condensation_solver(
         """ONE substep of length dt/n_substeps without committing attributes
         (reference ``make_step_fake``); returns (thd_new, success)"""
         dt_sub_cell = dt / n_substeps.astype(thd.dtype)
-        ml0 = sorted_segment_sum(
+        ml0 = _percell_sum(
             jnp.where(attrs["water_mass"] > 0, mult_f * attrs["water_mass"], 0.0),
             cell_start,
             n_cell,
