@@ -132,3 +132,70 @@ def test_fused_breakup_matches_xla(seed_case):
     tx = float((m_x * np.asarray(ext_ref).squeeze()).sum())
     np.testing.assert_allclose(tk, t0, rtol=5e-6)
     np.testing.assert_allclose(tx, t0, rtol=1e-9)
+
+
+@pytest.mark.parametrize("breakup", (False, True))
+def test_blocks_dispatch_through_collision_dynamic(breakup, monkeypatch):
+    """the Collision dynamic must route single-cell runs with
+    block-aligned n_sd into the blocks kernels (coalesce or breakup
+    variant) — exercised end-to-end in interpret mode with physics-level
+    assertions (mass conserved, collisions happened, counters move)"""
+    monkeypatch.setenv("PYSDM_TPU_PALLAS_INTERPRET", "1")
+    import numpy as np
+    from pysdm_tpu import Builder, Formulae
+    from pysdm_tpu.backends import CPU
+    from pysdm_tpu.dynamics import Breakup, Coalescence
+    from pysdm_tpu.dynamics.collisions.breakup_fragmentations import (
+        Exponential,
+    )
+    from pysdm_tpu.dynamics.collisions.collision_kernels import (
+        Geometric,
+        Golovin,
+    )
+    from pysdm_tpu.environments import Box
+    from pysdm_tpu.initialisation.sampling.spectral_sampling import (
+        ConstantMultiplicity,
+    )
+    from pysdm_tpu.initialisation.spectra import Exponential as ExpSpectrum
+
+    n_sd = 256 * 128  # exactly one kernel block
+    formulae = Formulae(
+        seed=3, fragmentation_function="Exponential"
+    )
+    builder = Builder(
+        n_sd=n_sd, backend=CPU(formulae),
+        environment=Box(dt=1.0, dv=1e6),
+    )
+    x_0 = float(formulae.trivia.volume(radius=30.531e-6))
+    if breakup:
+        builder.add_dynamic(
+            Breakup(
+                collision_kernel=Geometric(),
+                fragmentation_function=Exponential(
+                    scale=float(formulae.trivia.volume(radius=100e-6))
+                ),
+                adaptive=False,
+                warn_overflows=False,
+            )
+        )
+    else:
+        builder.add_dynamic(
+            Coalescence(collision_kernel=Golovin(b=1.5e3), adaptive=False)
+        )
+    attributes = {}
+    attributes["volume"], attributes["multiplicity"] = ConstantMultiplicity(
+        ExpSpectrum(norm_factor=(2**23) * 1e6, scale=x_0)
+    ).sample(n_sd)
+    p = builder.build(attributes)
+    m0 = p.attributes["multiplicity"]
+    mass0 = float((m0 * p.attributes["water mass"]).sum())
+    p.run(3)
+    p.block_until_ready()
+    m1 = p.attributes["multiplicity"]
+    mass1 = float((m1 * p.attributes["water mass"]).sum())
+    np.testing.assert_allclose(mass1, mass0, rtol=1e-5)
+    assert not np.array_equal(np.asarray(m1), np.asarray(m0))
+    assert (np.asarray(m1) >= 0).all()
+    assert float(np.asarray(p.get_counter("collision_rate")).sum()) > 0
+    if breakup:
+        assert float(np.asarray(p.get_counter("breakup_rate")).sum()) > 0
