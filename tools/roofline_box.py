@@ -1,7 +1,13 @@
 """Roofline accounting for the box-coalescence step (PERF_NOTES.md):
-measures the full fused step and its sort phase separately (K-chained
-single-dispatch timing — per-call host timing is unreliable over the
-axon tunnel) and reports bytes-touched vs the v5e HBM bound.
+measures the full fused step and — for reference — what the retired
+bucket-shuffle sort WOULD cost (K-chained single-dispatch timing —
+per-call host timing is unreliable over the axon tunnel), and reports
+bytes-touched vs the v5e HBM bound.
+
+Since round 5 the default box step uses the sort-free mirror croupier
+(`ops/pairing.py` + `fused_coalesce_mirror_blocks`): the ``sort_only``
+number is the cost the step NO LONGER pays (the round-4 step was 79%
+sort); ``full_step_ms`` is the mirror step.
 
 Run on the TPU; nothing else may touch the chip.
 """
@@ -91,9 +97,7 @@ def main():
 
     out = {
         "full_step_ms": round(full_ms, 3),
-        "sort_only_ms": round(sort_ms, 3),
-        "pair_phase_ms": round(full_ms - sort_ms, 3),
-        "sort_share": round(sort_ms / full_ms, 3),
+        "retired_sort_would_cost_ms": round(sort_ms, 3),
         "state_bytes_per_pass_MB": round(one_pass / 2**20, 2),
         "hbm_bound_single_pass_ms": round(one_pass / (HBM_GB_S * 1e6), 4),
         "implied_sort_passes_at_hbm_bound": round(
