@@ -43,3 +43,20 @@ def test_box_trace_replay():
     for got, exp in zip(steps, block["expected"]):
         assert got["multiplicity"] == exp["multiplicity"]
         np.testing.assert_allclose(got["volume"], exp["volume"], rtol=1e-12)
+
+
+def test_warmrain_mini_trace_replay():
+    """all-four-dynamics mini warm-rain self-regression: the committed
+    multi-step trajectory (incl. the seeded stochastic collision path)
+    must reproduce exactly on the CPU f64 backend"""
+    import tools_shim  # noqa: F401
+    from make_parity_traces import run_warmrain_mini_ours
+
+    with open(DATA) as f:
+        block = json.load(f)["warmrain_mini"]
+    steps = run_warmrain_mini_ours(dict(block["case"]))
+    for got, exp in zip(steps, block["expected"]):
+        for key in ("thd", "qv", "mult_sorted_by_dryv", "wm_sorted_by_dryv"):
+            np.testing.assert_allclose(
+                got[key], exp[key], rtol=1e-12, atol=1e-300
+            )

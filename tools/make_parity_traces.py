@@ -188,6 +188,61 @@ def run_box_ours(case):
     return steps
 
 
+def warmrain_mini_case():
+    return {
+        "grid": [8, 8],
+        "size_m": [1500.0, 1500.0],
+        "dt": 5.0,
+        "n_sd_per_gridbox": 16,
+        "formulae": {"seed": 31},
+        "n_steps": 5,
+    }
+
+
+def run_warmrain_mini_ours(case):
+    """full-physics mini warm-rain (ALL FOUR dynamics: condensation, MPDATA
+    advection, displacement/sedimentation, coalescence) — an ENGINE
+    self-regression trace: the collision stream is this engine's own
+    seeded threefry chain, so the trace pins the complete multi-dynamic
+    integration (incl. the stochastic path) against regressions, while the
+    parcel/box cases above carry the cross-engine (PySDM-replayable)
+    comparisons."""
+    from pysdm_tpu.backends import CPU
+    from pysdm_tpu.models.arabas_et_al_2015 import Settings, make_simulation
+    from pysdm_tpu.physics import Formulae, si
+
+    settings = Settings(
+        Formulae(**case["formulae"]),
+        grid=tuple(case["grid"]),
+        size=(case["size_m"][0] * si.m, case["size_m"][1] * si.m),
+        dt=case["dt"] * si.s,
+        n_sd_per_gridbox=case["n_sd_per_gridbox"],
+        spin_up_time=0,
+    )
+    particulator, spin_up = make_simulation(settings, backend_class=CPU)
+    spin_up.finish()
+    steps = []
+    for _ in range(case["n_steps"]):
+        particulator.run(1)
+        mult = np.asarray(particulator.particles.multiplicity, np.float64)
+        wm = np.asarray(
+            particulator.particles.ext("signed water mass"), np.float64
+        )
+        order = np.argsort(
+            np.asarray(particulator.particles.ext("dry volume"), np.float64),
+            kind="stable",
+        )
+        steps.append(
+            {
+                "thd": np.asarray(particulator.get_env("thd")).tolist(),
+                "qv": np.asarray(particulator.get_env("qv")).tolist(),
+                "mult_sorted_by_dryv": mult[order].tolist(),
+                "wm_sorted_by_dryv": wm[order].tolist(),
+            }
+        )
+    return steps
+
+
 def main():
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -197,6 +252,8 @@ def main():
     parcel_steps = run_parcel_ours(parcel)
     box = box_case()
     box_steps = run_box_ours(box)
+    wr = warmrain_mini_case()
+    wr_steps = run_warmrain_mini_ours(wr)
     data = {
         "_provenance": (
             "generated by tools/make_parity_traces.py with pysdm_tpu on the "
@@ -206,6 +263,7 @@ def main():
         ),
         "parcel": {"case": parcel, "expected": parcel_steps},
         "box": {"case": box, "expected": box_steps},
+        "warmrain_mini": {"case": wr, "expected": wr_steps},
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
