@@ -176,3 +176,53 @@ def test_f32_equilibrium_haze_succeeds_at_x_old():
     np.testing.assert_allclose(
         np.asarray(out[0]), np.asarray(wm), rtol=1e-4
     )
+
+
+def test_early_exit_honors_rtol_x():
+    """the (default) early-exit bisection must deliver roots within the
+    requested rtol_x: kernels built with loose vs tight tolerance agree on
+    the diffusion-coordinate root to the LOOSE tolerance, and the tight
+    kernel refines further (i.e. rtol_x actually steers the stop)"""
+    import jax.numpy as jnp
+
+    from pysdm_tpu.ops.pallas.condensation import make_fused_masses_new
+
+    f = Formulae(seed=44)
+    n = 4096
+    rng = np.random.default_rng(11)
+    r_wet = np.exp(rng.uniform(np.log(1e-6), np.log(20e-6), n))
+    wm = jnp.asarray((4 / 3 * np.pi * r_wet**3 * 1e3), jnp.float32)
+    r_dry = np.exp(rng.uniform(np.log(3e-8), np.log(1e-7), n))
+    vdry = jnp.asarray((4 / 3 * np.pi * r_dry**3), jnp.float32)
+    kappa = jnp.full((n,), 0.61, jnp.float32)
+    f_org = jnp.zeros((n,), jnp.float32)
+    reyn = jnp.full((n,), 0.01, jnp.float32)
+    # supersaturated cell: droplets grow, roots differ from x_old
+    thd_d = jnp.full((n,), 290.0, jnp.float32)
+    qv_d = jnp.full((n,), 0.013, jnp.float32)
+    rhod_d = jnp.full((n,), 1.1944, jnp.float32)
+    dt_sub = jnp.full((n,), 0.5, jnp.float32)
+    act = jnp.ones((n,), jnp.float32)
+    rho_air = jnp.full((n,), 1.2, jnp.float32)
+    mu_air = jnp.full((n,), 1.8e-5, jnp.float32)
+    args = (wm, vdry, kappa, f_org, reyn, thd_d, qv_d, rhod_d,
+            dt_sub, act, rho_air, mu_air)
+
+    roots = {}
+    for rtol_x in (1e-2, 1e-7):
+        fused = make_fused_masses_new(
+            f, RH_rtol=1e-7, max_iters=16, bisect_iters=64, rtol_x=rtol_x
+        )
+        mass_new, success = fused(*args, interpret=True)
+        assert bool(np.asarray(success).all())
+        roots[rtol_x] = np.asarray(
+            f.diffusion_coordinate.x(jnp.asarray(mass_new)), np.float64
+        )
+    x_loose, x_tight = roots[1e-2], roots[1e-7]
+    # droplets actually moved
+    x_old = np.asarray(f.diffusion_coordinate.x(wm), np.float64)
+    assert np.max(np.abs(x_tight - x_old)) > 0
+    # loose root within its own tolerance of the refined root
+    np.testing.assert_allclose(x_loose, x_tight, rtol=2e-2)
+    # and the tolerances differ in effect (early exit actually triggers)
+    assert np.max(np.abs(x_loose - x_tight)) > 0
